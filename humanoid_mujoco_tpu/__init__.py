@@ -1,0 +1,22 @@
+"""humanoid_mujoco_tpu — a TPU-native MPC, trajectory-optimization and RL framework.
+
+A from-scratch rebuild of the capabilities of mcgill-robotics/Humanoid-MuJoCo
+(MJPC planners + Gymnasium RL stack for a 12-DOF mini humanoid), designed
+TPU-first:
+
+  * physics: batched rigid-body dynamics written in pure JAX (vmap/lax.scan
+    friendly, fixed shapes, branch-free contact solve) — not a port of the
+    MuJoCo C core.
+  * planners: predictive sampling, cross-entropy, MPPI, iLQG (Riccati scan),
+    iLQS, gradient, robust and sample-gradient planners as pure functions of
+    pytree state.
+  * parallel: candidate-rollout fan-out over `jax.sharding.Mesh` with
+    on-device elite reductions (psum/argmin over ICI).
+  * rl: on-device lockstep environment batch with the reference's domain
+    randomization + PPO/SAC in JAX.
+
+Reference behavior citations point into mcgill-robotics/Humanoid-MuJoCo
+(e.g. mjpc/planners/sampling/planner.cc) and are for parity bookkeeping only.
+"""
+
+__version__ = "0.1.0"
