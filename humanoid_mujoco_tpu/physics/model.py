@@ -1,0 +1,453 @@
+"""Model description for the TPU-native rigid-body engine.
+
+A `Model` is a pytree: numeric parameters (masses, inertias, joint axes,
+collision spheres, actuator gains, solver params) are jnp-array leaves so
+they can be domain-randomized per batch element, while the kinematic
+STRUCTURE (tree topology, joint types, dof bookkeeping) is static aux data
+so every loop over bodies/dofs unrolls at trace time into fixed-shape XLA
+ops.
+
+This replaces the reference's reliance on MuJoCo's mjModel (compiled from
+MJCF XML, e.g. /root/reference/simulation/assets/humanoid.xml) with a
+programmatic builder: `ModelBuilder` plays the role of the MJCF compiler
+for the subset of features the reference stack uses (free/ball/slide/hinge
+joints, joint limits/armature/damping/stiffness, motor and position
+actuators with gear + force/ctrl ranges, sphere collision proxies vs a
+heightfield floor + self-collision pairs).
+
+Design notes (TPU-first):
+  * fixed shapes everywhere: contact capacity = nsph (floor slots) + npair
+    (self-collision slots); inactive slots are masked, never dropped.
+  * collision geometry is a sphere cloud per body (meshes are approximated
+    by spheres at build time), so narrowphase is branch-free closed form.
+  * all leaves may carry leading batch axes; engine fns are written for a
+    single model/state and lifted with jax.vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class JointType:
+    """Joint type codes (same ordering as MuJoCo's mjtJoint for familiarity)."""
+
+    FREE = 0
+    BALL = 1
+    SLIDE = 2
+    HINGE = 3
+
+
+class ActuatorType:
+    MOTOR = 0      # force = clip(ctrl); qfrc = gear * clip(force, forcerange)
+    POSITION = 1   # force = kp*(ctrl - q) - kv*qvel; qfrc = gear * clip(force)
+
+
+def _jnt_nq(t: int) -> int:
+    return {JointType.FREE: 7, JointType.BALL: 4,
+            JointType.SLIDE: 1, JointType.HINGE: 1}[t]
+
+
+def _jnt_nv(t: int) -> int:
+    return {JointType.FREE: 6, JointType.BALL: 3,
+            JointType.SLIDE: 1, JointType.HINGE: 1}[t]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Structure:
+    """Static topology — hashable aux data shared by jit traces."""
+
+    nq: int
+    nv: int
+    nu: int
+    nbody: int
+    njnt: int
+    nsph: int
+    npair: int
+    nhrow: int
+    nhcol: int
+
+    body_parent: Tuple[int, ...]          # (nbody,) parent body index, root=-1
+    body_joints: Tuple[Tuple[int, ...], ...]  # joints attached to each body
+    jnt_type: Tuple[int, ...]             # (njnt,)
+    jnt_body: Tuple[int, ...]             # (njnt,)
+    jnt_qadr: Tuple[int, ...]
+    jnt_vadr: Tuple[int, ...]
+    jnt_limited: Tuple[bool, ...]
+    dof_body: Tuple[int, ...]             # (nv,) body each dof belongs to
+    dof_jnt: Tuple[int, ...]              # (nv,) joint each dof belongs to
+    # dof support mask: mask[i][j] = 1 if dof j belongs to a body on the
+    # root->body(dof i) chain (incl. body(dof i) itself). Used for CRB
+    # masking and point Jacobians. Stored as bytes for hashability.
+    dof_mask_bytes: bytes                 # (nv, nv) uint8 row-major
+    body_dof_bytes: bytes                 # (nbody, nv) uint8: dof j moves body b
+    sph_body: Tuple[int, ...]             # (nsph,) owning body per sphere
+    pair_a: Tuple[int, ...]               # (npair,) sphere idx
+    pair_b: Tuple[int, ...]
+    act_type: Tuple[int, ...]             # (nu,)
+    act_jnt: Tuple[int, ...]              # (nu,) target joint (scalar joints)
+    body_names: Tuple[str, ...]
+    jnt_names: Tuple[str, ...]
+    site_names: Tuple[str, ...]
+    site_body: Tuple[int, ...]
+    has_floor: bool
+
+    def __hash__(self):
+        return hash((self.nq, self.nv, self.nu, self.nbody, self.njnt,
+                     self.nsph, self.npair, self.body_parent, self.jnt_type,
+                     self.dof_mask_bytes))
+
+    @property
+    def dof_mask(self) -> np.ndarray:
+        return np.frombuffer(self.dof_mask_bytes, dtype=np.uint8).reshape(
+            self.nv, self.nv)
+
+    @property
+    def body_dof(self) -> np.ndarray:
+        return np.frombuffer(self.body_dof_bytes, dtype=np.uint8).reshape(
+            self.nbody, self.nv)
+
+    def body_id(self, name: str) -> int:
+        return self.body_names.index(name)
+
+    def jnt_id(self, name: str) -> int:
+        return self.jnt_names.index(name)
+
+    def site_id(self, name: str) -> int:
+        return self.site_names.index(name)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """Numeric model parameters (jnp leaves) + static structure (aux)."""
+
+    struct: Structure = dataclasses.field(metadata=dict(static=True))
+
+    # bodies
+    body_pos: jax.Array       # (nbody, 3) frame offset in parent frame
+    body_quat: jax.Array      # (nbody, 4) frame rotation in parent frame
+    body_ipos: jax.Array      # (nbody, 3) COM in body frame
+    body_iquat: jax.Array     # (nbody, 4) inertial frame rotation
+    body_mass: jax.Array      # (nbody,)
+    body_inertia: jax.Array   # (nbody, 3) diagonal in inertial frame
+
+    # joints
+    jnt_pos: jax.Array        # (njnt, 3) anchor in body frame
+    jnt_axis: jax.Array       # (njnt, 3)
+    jnt_range: jax.Array      # (njnt, 2)
+    jnt_stiffness: jax.Array  # (njnt,)
+    jnt_springref: jax.Array  # (njnt,)
+    jnt_margin: jax.Array     # (njnt,)
+
+    # dofs
+    dof_damping: jax.Array    # (nv,)
+    dof_armature: jax.Array   # (nv,)
+
+    # actuators
+    act_gear: jax.Array       # (nu,)
+    act_kp: jax.Array         # (nu,)
+    act_kv: jax.Array         # (nu,)
+    act_ctrlrange: jax.Array  # (nu, 2)
+    act_forcerange: jax.Array  # (nu, 2)
+
+    # sites (named reference points for sensors/costs)
+    site_pos: jax.Array       # (nsite, 3) in body frame
+
+    # collision spheres
+    sph_pos: jax.Array        # (nsph, 3) center in body frame
+    sph_radius: jax.Array     # (nsph,)
+    sph_friction: jax.Array   # (nsph,) tangential friction coef
+
+    # floor: heightfield z(x, y) = floor_z + hfield bilinear sample
+    floor_z: jax.Array        # () base floor height (world z)
+    floor_friction: jax.Array  # ()
+    hfield_data: jax.Array    # (nhrow, nhcol) heights in meters (>= 0)
+    hfield_halfsize: jax.Array  # (2,) half-extent in x, y
+
+    # options
+    dt: jax.Array             # () physics timestep
+    gravity: jax.Array        # (3,)
+    solref: jax.Array         # (2,) [timeconst, dampratio] for contacts
+    solimp: jax.Array         # (3,) [dmin, dmax, width] impedance
+    limit_solref: jax.Array   # (2,)
+    limit_solimp: jax.Array   # (3,)
+    sol_iter: jax.Array = dataclasses.field(
+        default=None, metadata=dict(static=False))  # () int, PGS sweeps
+
+    def replace(self, **kw) -> "Model":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def nq(self):
+        return self.struct.nq
+
+    @property
+    def nv(self):
+        return self.struct.nv
+
+    @property
+    def nu(self):
+        return self.struct.nu
+
+    @property
+    def ncon(self):
+        """Fixed contact capacity: one floor slot/sphere + one slot/pair."""
+        return self.struct.nsph + self.struct.npair
+
+
+class ModelBuilder:
+    """Programmatic model construction (the MJCF-compiler analog).
+
+    Mirrors the subset of MJCF the reference stack exercises
+    (humanoid.xml / world.xml / test fixtures): bodies with one inertial
+    frame, free/hinge/slide/ball joints with limits + armature + damping +
+    stiffness, motor/position actuators, sphere collision proxies.
+    """
+
+    def __init__(self, dt: float = 0.002, gravity=(0.0, 0.0, -9.81)):
+        self.dt = dt
+        self.gravity = gravity
+        self._bodies: List[dict] = []
+        self._joints: List[dict] = []
+        self._acts: List[dict] = []
+        self._sphs: List[dict] = []
+        self._pairs: List[Tuple[int, int]] = []
+        self._sites: List[dict] = []
+        self.floor_z = 0.0
+        self.floor_friction = 1.0
+        self.has_floor = True
+        self.hfield_shape = (2, 2)
+        self.hfield_halfsize = (10.0, 10.0)
+        self.solref = (0.015, 1.0)      # world.xml:19 geom solref ".015 1"
+        self.solimp = (0.9, 0.99, 0.003)  # world.xml:19 solimp ".9 .99 .003"
+        self.limit_solref = (0.004, 1.0)  # world.xml:22 solreflimit "4e-3 1"
+        self.limit_solimp = (0.95, 0.99, 0.001)
+        self.sol_iter = 20
+
+    def add_body(self, name: str, parent: int, pos=(0, 0, 0),
+                 quat=(1, 0, 0, 0), mass: float = 0.0,
+                 ipos=(0, 0, 0), iquat=(1, 0, 0, 0),
+                 inertia=(0, 0, 0)) -> int:
+        self._bodies.append(dict(name=name, parent=parent, pos=pos, quat=quat,
+                                 mass=mass, ipos=ipos, iquat=iquat,
+                                 inertia=inertia))
+        return len(self._bodies) - 1
+
+    def add_joint(self, name: str, body: int, jtype: int, axis=(0, 0, 1),
+                  pos=(0, 0, 0), jrange=(0.0, 0.0), limited=False,
+                  damping: float = 0.0, armature: float = 0.0,
+                  stiffness: float = 0.0, springref: float = 0.0,
+                  margin: float = 0.0) -> int:
+        self._joints.append(dict(name=name, body=body, jtype=jtype, axis=axis,
+                                 pos=pos, jrange=jrange, limited=limited,
+                                 damping=damping, armature=armature,
+                                 stiffness=stiffness, springref=springref,
+                                 margin=margin))
+        return len(self._joints) - 1
+
+    def add_actuator(self, joint: int, atype: int = ActuatorType.MOTOR,
+                     gear: float = 1.0, kp: float = 1.0, kv: float = 0.0,
+                     ctrlrange=(-1.0, 1.0), forcerange=(-1.0, 1.0)) -> int:
+        self._acts.append(dict(joint=joint, atype=atype, gear=gear, kp=kp,
+                               kv=kv, ctrlrange=ctrlrange,
+                               forcerange=forcerange))
+        return len(self._acts) - 1
+
+    def add_sphere(self, body: int, pos=(0, 0, 0), radius: float = 0.02,
+                   friction: float = 1.0) -> int:
+        self._sphs.append(dict(body=body, pos=pos, radius=radius,
+                               friction=friction))
+        return len(self._sphs) - 1
+
+    def add_pair(self, sph_a: int, sph_b: int):
+        self._pairs.append((sph_a, sph_b))
+
+    def add_site(self, name: str, body: int, pos=(0, 0, 0)) -> int:
+        self._sites.append(dict(name=name, body=body, pos=pos))
+        return len(self._sites) - 1
+
+    def finalize(self, dtype=jnp.float32) -> Model:
+        nbody = len(self._bodies)
+        njnt = len(self._joints)
+        nq = nv = 0
+        jnt_qadr, jnt_vadr = [], []
+        dof_body, dof_jnt = [], []
+        for j, jd in enumerate(self._joints):
+            jnt_qadr.append(nq)
+            jnt_vadr.append(nv)
+            nq += _jnt_nq(jd["jtype"])
+            for _ in range(_jnt_nv(jd["jtype"])):
+                dof_body.append(jd["body"])
+                dof_jnt.append(j)
+            nv += _jnt_nv(jd["jtype"])
+
+        body_joints: List[List[int]] = [[] for _ in range(nbody)]
+        for j, jd in enumerate(self._joints):
+            body_joints[jd["body"]].append(j)
+
+        # chains: for each body, the set of dofs on root->body path
+        body_dof = np.zeros((nbody, nv), dtype=np.uint8)
+        for b in range(nbody):
+            cur = b
+            while cur >= 0:
+                for j in body_joints[cur]:
+                    v0 = jnt_vadr[j]
+                    body_dof[b, v0:v0 + _jnt_nv(self._joints[j]["jtype"])] = 1
+                cur = self._bodies[cur]["parent"]
+        dof_mask = np.zeros((nv, nv), dtype=np.uint8)
+        for i in range(nv):
+            dof_mask[i] = body_dof[dof_body[i]]
+
+        nsph = len(self._sphs)
+        npair = len(self._pairs)
+        nu = len(self._acts)
+
+        struct = Structure(
+            nq=nq, nv=nv, nu=nu, nbody=nbody, njnt=njnt, nsph=nsph,
+            npair=npair, nhrow=self.hfield_shape[0],
+            nhcol=self.hfield_shape[1],
+            body_parent=tuple(b["parent"] for b in self._bodies),
+            body_joints=tuple(tuple(x) for x in body_joints),
+            jnt_type=tuple(j["jtype"] for j in self._joints),
+            jnt_body=tuple(j["body"] for j in self._joints),
+            jnt_qadr=tuple(jnt_qadr), jnt_vadr=tuple(jnt_vadr),
+            jnt_limited=tuple(bool(j["limited"]) for j in self._joints),
+            dof_body=tuple(dof_body), dof_jnt=tuple(dof_jnt),
+            dof_mask_bytes=dof_mask.tobytes(),
+            body_dof_bytes=body_dof.tobytes(),
+            sph_body=tuple(s["body"] for s in self._sphs),
+            pair_a=tuple(p[0] for p in self._pairs),
+            pair_b=tuple(p[1] for p in self._pairs),
+            act_type=tuple(a["atype"] for a in self._acts),
+            act_jnt=tuple(a["joint"] for a in self._acts),
+            body_names=tuple(b["name"] for b in self._bodies),
+            jnt_names=tuple(j["name"] for j in self._joints),
+            site_names=tuple(s["name"] for s in self._sites),
+            site_body=tuple(s["body"] for s in self._sites),
+            has_floor=self.has_floor,
+        )
+
+        def arr(vals, shape=None):
+            a = np.array(vals, dtype=np.float64)
+            if shape is not None:
+                a = (np.zeros(shape) if a.size == 0 and 0 in shape
+                     else a.reshape(shape))
+            return jnp.asarray(a, dtype=dtype)
+
+        dof_damping = np.zeros(nv)
+        dof_armature = np.zeros(nv)
+        for j, jd in enumerate(self._joints):
+            v0 = jnt_vadr[j]
+            dof_damping[v0:v0 + _jnt_nv(jd["jtype"])] = jd["damping"]
+            dof_armature[v0:v0 + _jnt_nv(jd["jtype"])] = jd["armature"]
+
+        return Model(
+            struct=struct,
+            body_pos=arr([b["pos"] for b in self._bodies], (nbody, 3)),
+            body_quat=arr([_normq(b["quat"]) for b in self._bodies],
+                          (nbody, 4)),
+            body_ipos=arr([b["ipos"] for b in self._bodies], (nbody, 3)),
+            body_iquat=arr([_normq(b["iquat"]) for b in self._bodies],
+                           (nbody, 4)),
+            body_mass=arr([b["mass"] for b in self._bodies], (nbody,)),
+            body_inertia=arr([b["inertia"] for b in self._bodies],
+                             (nbody, 3)),
+            jnt_pos=arr([j["pos"] for j in self._joints],
+                        (njnt, 3)),
+            jnt_axis=arr([_normv(j["axis"]) for j in self._joints],
+                         (njnt, 3)),
+            jnt_range=arr([j["jrange"] for j in self._joints],
+                          (njnt, 2)),
+            jnt_stiffness=arr([j["stiffness"] for j in self._joints],
+                              (njnt,)),
+            jnt_springref=arr([j["springref"] for j in self._joints],
+                              (njnt,)),
+            jnt_margin=arr([j["margin"] for j in self._joints],
+                           (njnt,)),
+            dof_damping=arr(dof_damping, (nv,)),
+            dof_armature=arr(dof_armature, (nv,)),
+            act_gear=arr([a["gear"] for a in self._acts], (nu,)),
+            act_kp=arr([a["kp"] for a in self._acts], (nu,)),
+            act_kv=arr([a["kv"] for a in self._acts], (nu,)),
+            act_ctrlrange=arr([a["ctrlrange"] for a in self._acts],
+                              (nu, 2)),
+            act_forcerange=arr([a["forcerange"] for a in self._acts],
+                               (nu, 2)),
+            site_pos=arr([s["pos"] for s in self._sites],
+                         (len(self._sites), 3)),
+            sph_pos=arr([s["pos"] for s in self._sphs],
+                        (nsph, 3)),
+            sph_radius=arr([s["radius"] for s in self._sphs],
+                           (nsph,)),
+            sph_friction=arr([s["friction"] for s in self._sphs],
+                             (nsph,)),
+            floor_z=arr(self.floor_z, ()),
+            floor_friction=arr(self.floor_friction, ()),
+            hfield_data=jnp.zeros(self.hfield_shape, dtype=dtype),
+            hfield_halfsize=arr(self.hfield_halfsize, (2,)),
+            dt=arr(self.dt, ()),
+            gravity=arr(self.gravity, (3,)),
+            solref=arr(self.solref, (2,)),
+            solimp=arr(self.solimp, (3,)),
+            limit_solref=arr(self.limit_solref, (2,)),
+            limit_solimp=arr(self.limit_solimp, (3,)),
+            sol_iter=jnp.asarray(self.sol_iter, dtype=jnp.int32),
+        )
+
+
+def _normq(q):
+    q = np.asarray(q, dtype=np.float64)
+    return q / np.linalg.norm(q)
+
+
+def _normv(v):
+    v = np.asarray(v, dtype=np.float64)
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class State:
+    """Dynamic state — the (qpos, qvel) snapshot the planner hands off.
+
+    Analog of the reference's State store (mjpc/states/state.h:48-75),
+    but an immutable pytree instead of a mutex-guarded buffer.
+    """
+
+    qpos: jax.Array   # (nq,)
+    qvel: jax.Array   # (nv,)
+    time: jax.Array   # ()
+
+    def replace(self, **kw) -> "State":
+        return dataclasses.replace(self, **kw)
+
+
+def make_state(model: Model, qpos=None, qvel=None, time=0.0) -> State:
+    dtype = model.body_pos.dtype
+    if qpos is None:
+        qpos = default_qpos(model)
+    if qvel is None:
+        qvel = jnp.zeros((model.nv,), dtype=dtype)
+    return State(qpos=jnp.asarray(qpos, dtype=dtype),
+                 qvel=jnp.asarray(qvel, dtype=dtype),
+                 time=jnp.asarray(time, dtype=dtype))
+
+
+def default_qpos(model: Model) -> jax.Array:
+    """Neutral configuration: zeros, identity quats for free/ball joints."""
+    s = model.struct
+    q = np.zeros(s.nq)
+    for j in range(s.njnt):
+        if s.jnt_type[j] == JointType.FREE:
+            q[s.jnt_qadr[j] + 3] = 1.0
+        elif s.jnt_type[j] == JointType.BALL:
+            q[s.jnt_qadr[j]] = 1.0
+    return jnp.asarray(q, dtype=model.body_pos.dtype)

@@ -1,0 +1,210 @@
+"""Full physics step: the mj_step analog, as one pure jit-able function.
+
+step(model, state, ctrl [, xfrc]) -> (state', StepInfo)
+
+Pipeline (all fused by XLA, no host crossings):
+  fwd_position -> fwd_velocity -> CRB mass matrix + RNEA bias
+  -> actuation + passive + external wrenches -> collide -> constraint
+  Newton solve -> semi-implicit Euler with IMPLICIT joint damping
+  ((M + h D) dv = h * qfrc_total — the stability trick MuJoCo's Euler
+  integrator uses, required here for the reference's damping=0.2 @ 2 ms
+  joints, world.xml:22).
+
+Divergence guard: the reference marks rollouts bad and assigns cost 1e6
+when MuJoCo warns (mjpc/trajectory.cc:168-187); here `StepInfo.diverged`
+flags non-finite or exploding states and `step` freezes the state so a
+diverged rollout stays finite (the rollout engine then masks its return).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import linalg
+from . import math as pm
+from .collision import collide
+from .engine import (actuation, crb_mass_matrix, fwd_position, fwd_velocity,
+                     passive_force, rnea_bias, xfrc_to_qfrc)
+from .model import JointType, Model, State
+from .solver import make_efc, newton_solve
+
+_QVEL_LIMIT = 1e4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepInfo:
+    """Per-step observables for costs/rewards/sensors (small by design —
+    this is what rollouts record, the trajectory.h states/times/residual
+    analog)."""
+
+    xpos: jax.Array          # (nbody, 3)
+    xquat: jax.Array         # (nbody, 4)
+    xipos: jax.Array         # (nbody, 3) body COMs
+    site_xpos: jax.Array     # (nsite, 3)
+    com: jax.Array           # (3,) whole-model COM
+    com_vel: jax.Array       # (3,) whole-model COM velocity
+    contact_dist: jax.Array  # (ncon,) signed gaps
+    contact_force: jax.Array  # (ncon,) normal force magnitude
+    qacc: jax.Array          # (nv,)
+    actuator_force: jax.Array  # (nu,) joint torques AFTER gear
+    diverged: jax.Array      # () bool
+
+
+def _num_limit_rows(m: Model) -> int:
+    s = m.struct
+    n = 0
+    for j in range(s.njnt):
+        if s.jnt_limited[j] and s.jnt_type[j] in (JointType.HINGE,
+                                                  JointType.SLIDE):
+            n += 2
+    return n
+
+
+def forward(m: Model, state: State, ctrl: jax.Array,
+            xfrc: Optional[jax.Array] = None,
+            solver_iters: int = 8
+            ) -> Tuple[jax.Array, jax.Array, jax.Array, StepInfo]:
+    """Forward dynamics: returns (qacc_explicit, qfrc_total, M, info).
+
+    qfrc_total = smooth + constraint forces; qacc_explicit = M^-1 qfrc_total
+    (used by RK4 and by derivative code; Euler re-solves with implicit
+    damping in `step`).
+    """
+    qpos, qvel = state.qpos, state.qvel
+    dtype = qpos.dtype
+    s = m.struct
+
+    kin = fwd_position(m, qpos)
+    vel = fwd_velocity(m, kin, qvel)
+    M = crb_mass_matrix(m, kin)
+    bias = rnea_bias(m, kin, vel, qvel)
+    tau = actuation(m, qpos, qvel, ctrl)
+    qfrc_passive = passive_force(m, qpos, qvel)
+    qfrc_smooth = tau + qfrc_passive - bias
+    if xfrc is not None:
+        qfrc_smooth = qfrc_smooth + xfrc_to_qfrc(m, kin, xfrc)
+
+    Mchol = linalg.chol_factor(M)
+    contacts = collide(m, kin.xpos, kin.xmat)
+    efc = make_efc(m, kin, qpos, qvel, contacts, Mchol)
+    qacc, efc_f, qfrc_constraint = newton_solve(
+        M, Mchol, qfrc_smooth, efc, niter=solver_iters)
+    qfrc_total = qfrc_smooth + qfrc_constraint
+
+    # contact normal forces: sum the 4 pyramid-edge forces per slot
+    nlim = _num_limit_rows(m)
+    ncon = m.ncon
+    if ncon and efc_f.shape[0] >= nlim + 4 * ncon:
+        cf = efc_f[nlim:nlim + 4 * ncon].reshape(ncon, 4).sum(axis=-1)
+    else:
+        cf = jnp.zeros((ncon,), dtype=dtype)
+
+    # actuator joint torques (after gear) for torque-penalty rewards
+    # (simulation/reward_functions.py joint-torque terms)
+    if s.nu:
+        from .model import ActuatorType
+        c = jnp.clip(ctrl, m.act_ctrlrange[:, 0], m.act_ctrlrange[:, 1])
+        af = []
+        for a in range(s.nu):
+            j = s.act_jnt[a]
+            if s.act_type[a] == ActuatorType.MOTOR:
+                force = c[a]
+            else:
+                force = (m.act_kp[a] * (c[a] - qpos[s.jnt_qadr[j]])
+                         - m.act_kv[a] * qvel[s.jnt_vadr[j]])
+            af.append(m.act_gear[a] * jnp.clip(
+                force, m.act_forcerange[a, 0], m.act_forcerange[a, 1]))
+        actuator_force = jnp.stack(af)
+    else:
+        actuator_force = jnp.zeros((0,), dtype=dtype)
+
+    diverged = jnp.logical_or(
+        ~jnp.all(jnp.isfinite(qacc)),
+        jnp.max(jnp.abs(qvel)) > _QVEL_LIMIT)
+
+    info = StepInfo(
+        xpos=kin.xpos, xquat=kin.xquat, xipos=kin.xipos,
+        site_xpos=kin.site_xpos, com=kin.anchor, com_vel=vel.com_vel,
+        contact_dist=contacts.dist, contact_force=cf,
+        qacc=qacc, actuator_force=actuator_force, diverged=diverged)
+    return qacc, qfrc_total, M, info
+
+
+def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt
+                  ) -> jax.Array:
+    """Position integration on the configuration manifold (mj_integratePos):
+    free/ball quaternions via the exponential map with LOCAL-frame omega."""
+    s = m.struct
+    out = qpos
+    for j in range(s.njnt):
+        qadr, vadr = s.jnt_qadr[j], s.jnt_vadr[j]
+        t = s.jnt_type[j]
+        if t == JointType.FREE:
+            out = out.at[qadr:qadr + 3].set(
+                qpos[qadr:qadr + 3] + dt * qvel[vadr:vadr + 3])
+            q = pm.quat_integrate(pm.quat_normalize(qpos[qadr + 3:qadr + 7]),
+                                  qvel[vadr + 3:vadr + 6], dt)
+            out = out.at[qadr + 3:qadr + 7].set(q)
+        elif t == JointType.BALL:
+            q = pm.quat_integrate(pm.quat_normalize(qpos[qadr:qadr + 4]),
+                                  qvel[vadr:vadr + 3], dt)
+            out = out.at[qadr:qadr + 4].set(q)
+        else:
+            out = out.at[qadr].set(qpos[qadr] + dt * qvel[vadr])
+    return out
+
+
+def step(m: Model, state: State, ctrl: jax.Array,
+         xfrc: Optional[jax.Array] = None,
+         solver_iters: int = 8) -> Tuple[State, StepInfo]:
+    """Semi-implicit Euler with implicit joint damping (mj_Euler analog)."""
+    _, qfrc_total, M, info = forward(m, state, ctrl, xfrc, solver_iters)
+    h = m.dt
+    # (M + h*diag(damping)) dv = h * qfrc_total  (damping explicit in qfrc,
+    # implicit in the solve — exactly MuJoCo's formulation)
+    MhD = M + h * jnp.diag(m.dof_damping)
+    dv = h * linalg.solve_psd(MhD, qfrc_total)
+    qvel_new = state.qvel + dv
+    qpos_new = integrate_pos(m, state.qpos, qvel_new, h)
+
+    diverged = jnp.logical_or(info.diverged,
+                              ~jnp.all(jnp.isfinite(qvel_new)))
+    # freeze state on divergence so downstream stays finite
+    qpos_new = jnp.where(diverged, state.qpos, qpos_new)
+    qvel_new = jnp.where(diverged, jnp.zeros_like(qvel_new), qvel_new)
+    info = dataclasses.replace(info, diverged=diverged)
+    new_state = State(qpos=qpos_new, qvel=qvel_new, time=state.time + h)
+    return new_state, info
+
+
+def step_rk4(m: Model, state: State, ctrl: jax.Array,
+             xfrc: Optional[jax.Array] = None,
+             solver_iters: int = 8) -> Tuple[State, StepInfo]:
+    """Classic RK4 (mj_RungeKutta analog) — explicit, for accuracy tests."""
+    h = m.dt
+
+    def deriv(st):
+        qacc, _, _, info = forward(m, st, ctrl, xfrc, solver_iters)
+        return st.qvel, qacc, info
+
+    v1, a1, info = deriv(state)
+    s2 = State(integrate_pos(m, state.qpos, v1, 0.5 * h),
+               state.qvel + 0.5 * h * a1, state.time)
+    v2, a2, _ = deriv(s2)
+    s3 = State(integrate_pos(m, state.qpos, v2, 0.5 * h),
+               state.qvel + 0.5 * h * a2, state.time)
+    v3, a3, _ = deriv(s3)
+    s4 = State(integrate_pos(m, state.qpos, v3, h),
+               state.qvel + h * a3, state.time)
+    v4, a4, _ = deriv(s4)
+
+    vavg = (v1 + 2 * v2 + 2 * v3 + v4) / 6.0
+    aavg = (a1 + 2 * a2 + 2 * a3 + a4) / 6.0
+    qpos_new = integrate_pos(m, state.qpos, vavg, h)
+    qvel_new = state.qvel + h * aavg
+    return State(qpos_new, qvel_new, state.time + h), info
