@@ -1,0 +1,72 @@
+"""Closed-loop MPC driver: plan -> act cycles as one jit region.
+
+The analog of both the reference Agent's asynchronous plan loop
+(mjpc/agent.cc:270-329, synchronous flavor as in testspeed.cc:44-129)
+and the MJX mpc_rollout (python/mujoco_mpc/mjx/predictive_sampling.py:
+133-178): an outer `lax.scan` over plan cycles; each cycle runs one
+planner iteration on the PLANNING model (coarse timestep, the reference's
+agent_timestep=0.02) and then advances the SIMULATION model (fine
+timestep) under the updated policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .physics.model import Model, State
+from .physics.step import step
+from .planners.policy import SplinePolicy, policy_action
+from .tasks.base import Task, cost_value
+
+# plan_fn: (plan_model, task, policy, state, rng) -> (policy, info)
+PlanFn = Callable
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MPCResult:
+    final_state: State
+    final_policy: SplinePolicy
+    states: jax.Array       # (ncycle, steps_per_plan, nq) qpos trace
+    ctrls: jax.Array        # (ncycle, steps_per_plan, nu)
+    costs: jax.Array        # (ncycle, steps_per_plan) sim-model step costs
+    plan_returns: jax.Array  # (ncycle,) best return per plan iteration
+
+
+def mpc_rollout(sim_model: Model, plan_model: Model, task: Task,
+                plan_fn: PlanFn, policy: SplinePolicy, state: State,
+                rng: jax.Array, ncycle: int, steps_per_plan: int,
+                order: int, sim_solver_iters: int = 8) -> MPCResult:
+    """Run `ncycle` plan->act cycles; fully jittable (jit over static
+    ncycle/steps_per_plan)."""
+
+    def cycle(carry, key):
+        state, policy = carry
+        policy, info = plan_fn(plan_model, task, policy, state, key)
+
+        def sim_step(s, _):
+            ctrl = policy_action(sim_model, policy, s.time, order)
+            s_new, step_info = step(sim_model, s, ctrl,
+                                    solver_iters=sim_solver_iters)
+            res = task.residual(sim_model, s, step_info, ctrl)
+            return s_new, (s.qpos, ctrl, cost_value(task, res))
+
+        state, (qpos, ctrls, costs) = jax.lax.scan(
+            sim_step, state, None, length=steps_per_plan)
+        return (state, policy), (qpos, ctrls, costs, info.best_return)
+
+    keys = jax.random.split(rng, ncycle)
+    (state, policy), (qpos, ctrls, costs, best) = jax.lax.scan(
+        cycle, (state, policy), keys)
+    return MPCResult(final_state=state, final_policy=policy, states=qpos,
+                     ctrls=ctrls, costs=costs, plan_returns=best)
+
+
+def make_plan_model(m: Model, plan_dt: float) -> Model:
+    """Planning model = sim model at the agent timestep
+    (agent_timestep, task.xml:13)."""
+    return m.replace(dt=jnp.asarray(plan_dt, dtype=m.body_pos.dtype))

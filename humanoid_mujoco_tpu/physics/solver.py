@@ -57,8 +57,13 @@ def impedance(solimp: jax.Array, violation: jax.Array) -> jax.Array:
     return dmin + y * (dmax - dmin)
 
 
-def _kb(solref: jax.Array, solimp: jax.Array, d: jax.Array):
+def _kb(solref: jax.Array, solimp: jax.Array, d: jax.Array, dt=None):
     tc, dr = solref[0], solref[1]
+    if dt is not None:
+        # stability clamp: timeconst >= 2*timestep (mj_makeConstraint does
+        # the same) — required when planning at coarse timesteps (the
+        # reference plans at 0.02 s with solref timeconst 0.015, task.xml:13)
+        tc = jnp.maximum(tc, 2.0 * dt)
     dmax = solimp[1]
     b = 2.0 / jnp.maximum(dmax * tc, 1e-9)
     k = d / jnp.maximum(dmax * dmax * tc * tc * dr * dr, 1e-12)
@@ -143,8 +148,8 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
         lim_d = (jnp.stack(rows_d) if nlimit
                  else jnp.zeros((0,), dtype=dtype))
 
-        k_l, b_l = _kb(m.limit_solref, m.limit_solimp, lim_d)
-        k_c, b_c = _kb(m.solref, m.solimp, cd)
+        k_l, b_l = _kb(m.limit_solref, m.limit_solimp, lim_d, m.dt)
+        k_c, b_c = _kb(m.solref, m.solimp, cd, m.dt)
 
         J = jnp.concatenate([lim_J, rows], axis=0)
         pos = jnp.concatenate([lim_pos, cpos])
@@ -157,7 +162,7 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
         J = jnp.stack(rows_J)
         pos = jnp.stack(rows_pos)
         lim_d = jnp.stack(rows_d)
-        k_l, b_l = _kb(m.limit_solref, m.limit_solimp, lim_d)
+        k_l, b_l = _kb(m.limit_solref, m.limit_solimp, lim_d, m.dt)
         aref = -b_l * jnp.stack(rows_vel) - k_l * lim_d * pos
         d_all = lim_d
     else:

@@ -1,0 +1,139 @@
+"""Residual-based cost model — the Task/ResidualFn analog.
+
+Re-derivation of the reference's cost pipeline (mjpc/task.cc:70-108):
+    residual r(state) -> per-term cost_k = weight_k * norm_k(r_slice_k; p)
+    -> total = sum_k cost_k -> optional exponential risk transform
+        (exp(risk * total) - 1) / risk                 (task.cc:104-108)
+
+The reference configures terms through XML <sensor><user> attributes
+(task.cc:210-233); here a Task is a pytree: term STRUCTURE (names, dims,
+norm types) is static aux data so the norm dispatch unrolls at trace
+time, while weights / norm parameters / task parameters are leaves —
+runtime-adjustable exactly like the gRPC SetCostWeights / SetTaskParameters
+API (grpc/agent.proto:34-36) without recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import norms
+from ..physics.model import Model, State
+from ..physics.step import StepInfo
+
+# residual signature: (model, task, state, info, ctrl) -> (nres,)
+ResidualFn = Callable[[Model, "Task", State, StepInfo, jax.Array], jax.Array]
+
+_RISK_TOL = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class TermSpec:
+    """Static description of one cost term (name, residual dim, norm)."""
+
+    name: str
+    dim: int
+    norm: int          # norms.NormType value
+    num_params: int = 0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Task:
+    name: str = dataclasses.field(metadata=dict(static=True))
+    terms: Tuple[TermSpec, ...] = dataclasses.field(
+        metadata=dict(static=True))
+    residual_fn: ResidualFn = dataclasses.field(metadata=dict(static=True))
+    param_names: Tuple[str, ...] = dataclasses.field(
+        metadata=dict(static=True))
+
+    weights: jax.Array       # (nterm,)
+    norm_params: jax.Array   # (nterm, 2) (p, q) per term; unused -> 0
+    params: jax.Array        # (nparam,) task parameters (e.g. height goal)
+    risk: jax.Array          # ()
+
+    @property
+    def nres(self) -> int:
+        return sum(t.dim for t in self.terms)
+
+    @property
+    def nterm(self) -> int:
+        return len(self.terms)
+
+    def residual(self, m: Model, state: State, info: StepInfo,
+                 ctrl: jax.Array) -> jax.Array:
+        return self.residual_fn(m, self, state, info, ctrl)
+
+    def set_weight(self, name: str, value) -> "Task":
+        i = [t.name for t in self.terms].index(name)
+        return dataclasses.replace(
+            self, weights=self.weights.at[i].set(value))
+
+    def set_param(self, name: str, value) -> "Task":
+        i = self.param_names.index(name)
+        return dataclasses.replace(
+            self, params=self.params.at[i].set(value))
+
+
+def make_task(name: str, terms, residual_fn, weights, norm_params=None,
+              params=(), param_names=(), risk=0.0,
+              dtype=jnp.float32) -> Task:
+    nterm = len(terms)
+    npz = jnp.zeros((nterm, 2), dtype=dtype)
+    if norm_params is not None:
+        npz = jnp.asarray(norm_params, dtype=dtype).reshape(nterm, 2)
+    return Task(
+        name=name, terms=tuple(terms), residual_fn=residual_fn,
+        param_names=tuple(param_names),
+        weights=jnp.asarray(weights, dtype=dtype),
+        norm_params=npz,
+        params=jnp.asarray(list(params), dtype=dtype).reshape(-1),
+        risk=jnp.asarray(risk, dtype=dtype))
+
+
+def cost_terms(task: Task, residual: jax.Array,
+               weighted: bool = True) -> jax.Array:
+    """Per-term costs (..., nterm) from residual (..., nres).
+
+    (BaseResidualFn::CostTerms, task.cc:71-88.)
+    """
+    outs = []
+    off = 0
+    for k, t in enumerate(task.terms):
+        r = residual[..., off:off + t.dim]
+        off += t.dim
+        c = norms.norm_value(r, t.norm, task.norm_params[k, 0],
+                             task.norm_params[k, 1])
+        outs.append(task.weights[k] * c if weighted else c)
+    return jnp.stack(outs, axis=-1)
+
+
+def cost_value(task: Task, residual: jax.Array) -> jax.Array:
+    """Total (risk-transformed) cost from residual (..., nres) -> (...).
+
+    (BaseResidualFn::CostValue, task.cc:91-108.)
+    """
+    total = jnp.sum(cost_terms(task, residual), axis=-1)
+    risk = task.risk
+    transformed = (jnp.exp(risk * total) - 1.0) / jnp.where(
+        jnp.abs(risk) < _RISK_TOL, 1.0, risk)
+    return jnp.where(jnp.abs(risk) < _RISK_TOL, total, transformed)
+
+
+def trajectory_cost(task: Task, residuals: jax.Array,
+                    diverged: jax.Array | None = None,
+                    max_return: float = 1e6) -> jax.Array:
+    """Sum of per-step costs over the horizon with the divergence guard:
+    a rollout that diverged anywhere returns `max_return`
+    (kMaxReturnValue, mjpc/trajectory.cc:29,170)."""
+    costs = cost_value(task, residuals)          # (..., T)
+    total = jnp.sum(costs, axis=-1)
+    total = jnp.nan_to_num(total, nan=max_return, posinf=max_return)
+    if diverged is not None:
+        bad = jnp.any(diverged, axis=-1)
+        total = jnp.where(bad, max_return, total)
+    return total
