@@ -1,0 +1,226 @@
+"""Agent orchestrator — the mjpc::Agent + gRPC Agent service surface.
+
+The reference exposes MPC through a gRPC service wrapping one Agent
+(grpc/agent.proto:19-60, python/mujoco_mpc/agent.py bindings that spawn
+an agent_server subprocess). TPU-native equivalent: an IN-PROCESS object
+with the same API verbs — no process boundary, no serialization; the
+planner step is one jit call. A thin TCP server for robot serving sits
+on top (serving/server.py), and the C++ async runtime (native/) can run
+the plan loop on a background thread like the reference's plan thread
+(agent.cc:318-329).
+
+API parity map (agent.proto -> here):
+  Init               -> Agent(model, task, planner=...)
+  SetState           -> set_state(qpos=..., qvel=..., time=...)
+  GetState           -> get_state()
+  PlannerStep        -> planner_step()
+  GetAction          -> get_action(time=None, averaging_duration=0)
+  Step               -> step() (ActionFromPolicy + sim step server-side)
+  Reset              -> reset()
+  SetTaskParameters  -> set_task_parameter(name, value)
+  SetCostWeights     -> set_cost_weights({name: w})
+  GetResiduals       -> get_residuals()
+  GetCostValuesAndWeights -> get_cost_term_values()
+  GetBestTrajectory  -> best_trajectory()
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mpc import make_plan_model
+from .ops.spline import SplineOrder
+from .physics.model import Model, State, make_state
+from .physics.step import forward, step
+from .planners import (ILQGConfig, SamplingConfig, ilqg_action, ilqg_init,
+                       ilqg_plan, init_policy, policy_action, sampling_plan)
+from .planners import cem, mppi
+from .tasks.base import Task, cost_terms
+
+PLANNERS = ("sampling", "ilqg", "cem", "mppi")
+
+
+class Agent:
+    """Synchronous in-process agent (thread-safe enough for the serving
+    loop; the async plan thread lives in native/runtime)."""
+
+    def __init__(self, model: Model, task: Task, planner: str = "ilqg",
+                 plan_dt: float = 0.02, horizon: int = 17,
+                 nsample: int = 64, seed: int = 0):
+        if planner not in PLANNERS:
+            raise ValueError(f"unknown planner {planner!r}; "
+                             f"options: {PLANNERS}")
+        self.model = model
+        self.plan_model = make_plan_model(model, plan_dt)
+        self.task = task
+        self.planner = planner
+        self.state = make_state(model)
+        self.rng = jax.random.PRNGKey(seed)
+        self._last_info = None
+
+        if planner == "ilqg":
+            self.cfg = ILQGConfig(horizon=horizon)
+            self.pstate = ilqg_init(self.plan_model, self.cfg, self.state)
+            self._plan = jax.jit(
+                lambda ps, s: ilqg_plan(self.plan_model, self.task,
+                                        self.cfg, ps, s))
+            self._action = jax.jit(
+                lambda pol, qp, qv, t: ilqg_action(self.model, pol, qp,
+                                                   qv, t))
+        elif planner == "sampling":
+            self.cfg = SamplingConfig(nsample=nsample, horizon=horizon)
+            self.pstate = init_policy(model, self.cfg.nknots)
+            self._plan = jax.jit(
+                lambda p, s, k: sampling_plan(self.plan_model, self.task,
+                                              self.cfg, p, s, k))
+            self._action = jax.jit(
+                lambda pol, t: policy_action(self.model, pol, t,
+                                             self.cfg.order))
+        elif planner == "cem":
+            self.cfg = cem.CEMConfig(nsample=nsample, horizon=horizon)
+            self.pstate = init_policy(model, self.cfg.nknots)
+            self.cem_state = cem.cem_init(model, self.cfg)
+            self._plan = jax.jit(
+                lambda p, c, s, k: cem.cem_plan(self.plan_model, self.task,
+                                                self.cfg, p, c, s, k))
+            self._action = jax.jit(
+                lambda pol, t: policy_action(self.model, pol, t,
+                                             self.cfg.order))
+        elif planner == "mppi":
+            self.cfg = mppi.MPPIConfig(nsample=nsample, horizon=horizon)
+            self.pstate = init_policy(model, self.cfg.nknots)
+            self._plan = jax.jit(
+                lambda p, s, k: mppi.mppi_plan(self.plan_model, self.task,
+                                               self.cfg, p, s, k))
+            self._action = jax.jit(
+                lambda pol, t: policy_action(self.model, pol, t,
+                                             self.cfg.order))
+
+        self._step = jax.jit(lambda s, u: step(self.model, s, u))
+        self._forward = jax.jit(
+            lambda s, u: forward(self.model, s, u)[3])
+
+    # ---- state ----
+    def set_state(self, qpos=None, qvel=None, time=None):
+        s = self.state
+        if qpos is not None:
+            s = s.replace(qpos=jnp.asarray(qpos, dtype=s.qpos.dtype))
+        if qvel is not None:
+            s = s.replace(qvel=jnp.asarray(qvel, dtype=s.qvel.dtype))
+        if time is not None:
+            s = s.replace(time=jnp.asarray(time, dtype=s.qpos.dtype))
+        self.state = s
+
+    def get_state(self):
+        return dict(qpos=np.asarray(self.state.qpos),
+                    qvel=np.asarray(self.state.qvel),
+                    time=float(self.state.time))
+
+    def reset(self):
+        self.state = make_state(self.model)
+        if self.planner == "ilqg":
+            self.pstate = ilqg_init(self.plan_model, self.cfg, self.state)
+        else:
+            self.pstate = init_policy(self.model, self.cfg.nknots)
+            if self.planner == "cem":
+                self.cem_state = cem.cem_init(self.model, self.cfg)
+
+    # ---- planning ----
+    def planner_step(self):
+        """One planner iteration against the current state
+        (Agent::PlanIteration, agent.cc:270-315)."""
+        self.rng, key = jax.random.split(self.rng)
+        if self.planner == "ilqg":
+            self.pstate, info = self._plan(self.pstate, self.state)
+        elif self.planner == "cem":
+            self.pstate, self.cem_state, info = self._plan(
+                self.pstate, self.cem_state, self.state, key)
+        else:
+            self.pstate, info = self._plan(self.pstate, self.state, key)
+        self._last_info = info
+        return float(info.best_return)
+
+    def get_action(self, time=None, averaging_duration: float = 0.0):
+        """Query the policy (GetAction; averaging per
+        grpc_agent_util.cc:166-197: mean action over a short rollout)."""
+        t = self.state.time if time is None else jnp.asarray(
+            time, dtype=self.state.qpos.dtype)
+        if averaging_duration > 0:
+            n = max(1, int(round(float(averaging_duration)
+                                 / float(self.model.dt))))
+            s = self.state
+            acts = []
+            for _ in range(n):
+                u = self._policy_action(s, t)
+                acts.append(u)
+                s, _ = self._step(s, u)
+                t = s.time
+            return np.mean(np.stack(acts), axis=0)
+        return np.asarray(self._policy_action(self.state, t))
+
+    def _policy_action(self, s: State, t):
+        if self.planner == "ilqg":
+            return self._action(self.pstate.policy, s.qpos, s.qvel, t)
+        return self._action(self.pstate, t)
+
+    def step(self):
+        """ActionFromPolicy + advance the server-side sim (Step RPC,
+        agent_service.cc:225-245)."""
+        u = self._policy_action(self.state, self.state.time)
+        self.state, info = self._step(self.state, u)
+        return np.asarray(u)
+
+    # ---- task configuration ----
+    def set_task_parameter(self, name: str, value: float):
+        self.task = self.task.set_param(name, value)
+        self._rejit()
+
+    def set_cost_weights(self, weights: Dict[str, float]):
+        for k, v in weights.items():
+            self.task = self.task.set_weight(k, v)
+        self._rejit()
+
+    def get_cost_weights(self):
+        return {t.name: float(self.task.weights[i])
+                for i, t in enumerate(self.task.terms)}
+
+    def _rejit(self):
+        # weights/params are pytree leaves: jitted closures capture the
+        # OLD task, so rebuild the closures (still no recompilation —
+        # only leaf values changed, shapes identical)
+        self.__init__(self.model, self.task, self.planner,
+                      float(self.plan_model.dt),
+                      self.cfg.horizon,
+                      getattr(self.cfg, "nsample", 64))
+
+    # ---- introspection ----
+    def get_residuals(self):
+        info = self._forward_info()
+        u = self._policy_action(self.state, self.state.time)
+        r = self.task.residual(self.model, self.state, info, u)
+        return np.asarray(r)
+
+    def get_cost_term_values(self):
+        r = jnp.asarray(self.get_residuals())
+        terms = cost_terms(self.task, r)
+        return {t.name: float(terms[i])
+                for i, t in enumerate(self.task.terms)}
+
+    def best_trajectory(self):
+        if self.planner == "ilqg":
+            p = self.pstate.policy
+            return dict(times=np.asarray(p.times),
+                        qpos=np.asarray(p.qpos_nom),
+                        qvel=np.asarray(p.qvel_nom),
+                        actions=np.asarray(p.u_nom))
+        return dict(times=np.asarray(self.pstate.times),
+                    knots=np.asarray(self.pstate.values))
+
+    def _forward_info(self):
+        u = jnp.zeros(self.model.nu, dtype=self.state.qpos.dtype)
+        return self._forward(self.state, u)

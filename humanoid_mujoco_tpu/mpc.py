@@ -37,19 +37,34 @@ class MPCResult:
     plan_returns: jax.Array  # (ncycle,) best return per plan iteration
 
 
+def spline_action_fn(order: int):
+    """action_fn for spline policies (sampling/CEM/MPPI)."""
+    def fn(m, policy, s):
+        return policy_action(m, policy, s.time, order)
+    return fn
+
+
+def ilqg_action_fn(m, policy, s):
+    """action_fn for iLQG feedback policies (closes the K(t) loop at the
+    sim rate, like the reference physics thread, app.cc:90-93)."""
+    from .planners.ilqg import ilqg_action
+    return ilqg_action(m, policy, s.qpos, s.qvel, s.time)
+
+
 def mpc_rollout(sim_model: Model, plan_model: Model, task: Task,
-                plan_fn: PlanFn, policy: SplinePolicy, state: State,
+                plan_fn: PlanFn, policy, state: State,
                 rng: jax.Array, ncycle: int, steps_per_plan: int,
-                order: int, sim_solver_iters: int = 8) -> MPCResult:
+                action_fn, sim_solver_iters: int = 8) -> MPCResult:
     """Run `ncycle` plan->act cycles; fully jittable (jit over static
-    ncycle/steps_per_plan)."""
+    ncycle/steps_per_plan). `action_fn(m, policy, state) -> ctrl` queries
+    the policy at the sim rate (feedback policies see the live state)."""
 
     def cycle(carry, key):
         state, policy = carry
         policy, info = plan_fn(plan_model, task, policy, state, key)
 
         def sim_step(s, _):
-            ctrl = policy_action(sim_model, policy, s.time, order)
+            ctrl = action_fn(sim_model, policy, s)
             s_new, step_info = step(sim_model, s, ctrl,
                                     solver_iters=sim_solver_iters)
             res = task.residual(sim_model, s, step_info, ctrl)

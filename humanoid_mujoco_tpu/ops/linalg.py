@@ -18,6 +18,34 @@ import jax.numpy as jnp
 
 _JITTER = 1e-10
 
+# When True, use XLA's native cholesky/triangular_solve ops instead of the
+# unrolled straight-line code. The unrolled form is faster at runtime for
+# tiny n on the VPU, but costs ~1000 HLO ops per factorization — under
+# jax.jacfwd (planners/derivatives.py) that multiplies into minutes of
+# XLA compile time, so the derivative path flips this on via
+# `native_scope()`.
+#
+# Measured on TPU v5e (batch-1024 humanoid step scan): unrolled = 63k
+# steps/s @ 593 s compile; native = 41k steps/s @ 22 s compile. Default
+# stays unrolled (throughput); export HMT_NATIVE_LINALG=1 for fast
+# iteration compiles.
+import os as _os
+
+_NATIVE = _os.environ.get("HMT_NATIVE_LINALG", "0") == "1"
+
+
+class native_scope:
+    """Context manager: route chol_factor/chol_solve to native XLA ops."""
+
+    def __enter__(self):
+        global _NATIVE
+        self._prev = _NATIVE
+        _NATIVE = True
+
+    def __exit__(self, *exc):
+        global _NATIVE
+        _NATIVE = self._prev
+
 
 def chol_factor(A: jax.Array) -> jax.Array:
     """Cholesky factor L (lower) of SPD A, unrolled over the static size.
@@ -27,6 +55,9 @@ def chol_factor(A: jax.Array) -> jax.Array:
     (rollout divergence is handled by the caller's failure guard).
     """
     n = A.shape[-1]
+    if _NATIVE:
+        eye = jnp.eye(n, dtype=A.dtype)
+        return jnp.linalg.cholesky(A + _JITTER * eye)
     a = [[A[..., i, j] for j in range(n)] for i in range(n)]
     L = [[None] * n for _ in range(n)]
     for j in range(n):
@@ -57,6 +88,12 @@ def chol_solve(L: jax.Array, b: jax.Array) -> jax.Array:
     n = L.shape[-1]
     vec = b.ndim == L.ndim - 1
     bb = b[..., None] if vec else b
+    if _NATIVE:
+        from jax import lax
+        y = lax.linalg.triangular_solve(L, bb, left_side=True, lower=True)
+        x = lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                        transpose_a=True)
+        return x[..., 0] if vec else x
     Lc = [[L[..., i, j, None] for j in range(n)] for i in range(n)]
     # forward: L y = b
     y = [None] * n

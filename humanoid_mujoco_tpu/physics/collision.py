@@ -34,6 +34,8 @@ class Contacts:
     normal: jax.Array    # (ncon, 3) unit normal (pushes body_b off body_a)
     dist: jax.Array      # (ncon,) signed gap (negative = penetrating)
     friction: jax.Array  # (ncon,) tangential friction coefficient
+    friction_tor: jax.Array   # (ncon,) torsional friction
+    friction_roll: jax.Array  # (ncon,) rolling friction
 
 
 def hfield_height(m: Model, xy: jax.Array) -> jax.Array:
@@ -93,12 +95,16 @@ def collide(m: Model, xpos: jax.Array, xmat: jax.Array) -> Contacts:
         dist_f = centers[:, 2] - m.sph_radius - h
         pos_f = centers - n_floor * (m.sph_radius + 0.5 * dist_f)[:, None]
         fric_f = jnp.maximum(m.sph_friction, m.floor_friction)
+        tor_f = jnp.maximum(m.sph_friction_tor, m.floor_friction_tor)
+        roll_f = jnp.maximum(m.sph_friction_roll, m.floor_friction_roll)
     else:
         dist_f = jnp.full((s.nsph,), 1e9, dtype=dtype)
         n_floor = jnp.broadcast_to(
             jnp.asarray([0.0, 0.0, 1.0], dtype=dtype), (s.nsph, 3))
         pos_f = centers
         fric_f = m.sph_friction
+        tor_f = m.sph_friction_tor
+        roll_f = m.sph_friction_roll
 
     # --- self-collision pairs ---
     if s.npair:
@@ -112,14 +118,21 @@ def collide(m: Model, xpos: jax.Array, xmat: jax.Array) -> Contacts:
         dist_p = dnorm - (ra + rb)
         pos_p = ca + n_pair * (ra + 0.5 * dist_p)[:, None]
         fric_p = jnp.maximum(m.sph_friction[ia], m.sph_friction[ib])
+        tor_p = jnp.maximum(m.sph_friction_tor[ia], m.sph_friction_tor[ib])
+        roll_p = jnp.maximum(m.sph_friction_roll[ia],
+                             m.sph_friction_roll[ib])
         pos = jnp.concatenate([pos_f, pos_p], axis=0)
         normal = jnp.concatenate([n_floor, n_pair], axis=0)
         dist = jnp.concatenate([dist_f, dist_p], axis=0)
         fric = jnp.concatenate([fric_f, fric_p], axis=0)
+        tor = jnp.concatenate([tor_f, tor_p], axis=0)
+        roll = jnp.concatenate([roll_f, roll_p], axis=0)
     else:
         pos, normal, dist, fric = pos_f, n_floor, dist_f, fric_f
+        tor, roll = tor_f, roll_f
 
-    return Contacts(pos=pos, normal=normal, dist=dist, friction=fric)
+    return Contacts(pos=pos, normal=normal, dist=dist, friction=fric,
+                    friction_tor=tor, friction_roll=roll)
 
 
 def tangent_frame(normal: jax.Array) -> tuple[jax.Array, jax.Array]:

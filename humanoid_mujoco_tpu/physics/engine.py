@@ -234,6 +234,20 @@ def kinetic_energy(M: jax.Array, qvel: jax.Array) -> jax.Array:
     return 0.5 * qvel @ M @ qvel
 
 
+def inverse_dynamics(m: Model, qpos: jax.Array, qvel: jax.Array,
+                     qacc: jax.Array) -> jax.Array:
+    """Smooth inverse dynamics: the applied generalized force required
+    for (qpos, qvel, qacc) ignoring contacts — tau = M qacc + bias -
+    passive (the mj_inverse analog used by the direct optimizer's force
+    residual, mjpc/direct/direct.cc and docs/DIRECT.md; contact forces
+    are treated as part of the residual being minimized)."""
+    kin = fwd_position(m, qpos)
+    vel = fwd_velocity(m, kin, qvel)
+    M = crb_mass_matrix(m, kin)
+    bias = rnea_bias(m, kin, vel, qvel)
+    return M @ qacc + bias - passive_force(m, qpos, qvel)
+
+
 def point_jacobian(m: Model, kin: Kin, body: int, point: jax.Array
                    ) -> jax.Array:
     """Translational Jacobian (3, nv) of a world point rigidly on `body`."""

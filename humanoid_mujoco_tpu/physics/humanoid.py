@@ -177,8 +177,9 @@ def build_humanoid(dt: float = 0.002, dtype=jnp.float32,
                        ctrlrange=_CTRL, forcerange=_FRC)
 
     # --- collision sphere clouds (sized from the reference STL bounds) ---
-    def sph(body, pos, r, fr=_FRICTION):
-        return b.add_sphere(body, pos=pos, radius=r, friction=fr)
+    def sph(body, pos, r, fr=_FRICTION, tor=0.005, roll=0.0001):
+        return b.add_sphere(body, pos=pos, radius=r, friction=fr,
+                            friction_tor=tor, friction_roll=roll)
 
     torso_sph = [sph(torso, (x, 0.0, z), 0.055)
                  for x in (-0.03, 0.07) for z in (-0.07, 0.07)]
@@ -193,9 +194,12 @@ def build_humanoid(dt: float = 0.002, dtype=jnp.float32,
     for side, wp_, kn_ in (("right", r_wp, r_kn), ("left", l_wp, l_kn)):
         thigh = [sph(wp_, (0, -0.05, 0), 0.020),
                  sph(wp_, (0, -0.12, 0), 0.020)]
-        shin = [sph(kn_, (0, -0.02, 0), 0.022, _FOOT_FRICTION),
-                sph(kn_, (0, -0.09, 0), 0.022, _FOOT_FRICTION)]
-        foot = sph(kn_, (0, -0.15, 0), 0.027, _FOOT_FRICTION)
+        # pressure_geom friction "0.8 0.02 0.01" (humanoid.xml:70,89):
+        # the elevated torsional/rolling coefficients on the ball-shaped
+        # feet act as a weak virtual ankle — essential for standing
+        shin = [sph(kn_, (0, -0.02, 0), 0.022, _FOOT_FRICTION, 0.02, 0.01),
+                sph(kn_, (0, -0.09, 0), 0.022, _FOOT_FRICTION, 0.02, 0.01)]
+        foot = sph(kn_, (0, -0.15, 0), 0.027, _FOOT_FRICTION, 0.02, 0.01)
         leg_sph[side] = dict(thigh=thigh, shin=shin, foot=foot)
 
     if self_collision:

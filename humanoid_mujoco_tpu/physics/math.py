@@ -118,22 +118,36 @@ def axis_angle_to_quat(axis: jax.Array, angle: jax.Array) -> jax.Array:
     )
 
 
+def safe_norm(v: jax.Array, axis: int = -1, keepdims: bool = False,
+              eps: float = 1e-20) -> jax.Array:
+    """sqrt(|v|^2 + eps): smooth at v = 0 with ZERO gradient there.
+
+    jnp.linalg.norm has a NaN derivative at exactly 0, which poisons
+    jax.jacfwd through state_diff / quat integration when nominal and
+    query states coincide (they always do along a nominal trajectory) —
+    this is the AD-safe replacement used everywhere on that path.
+    """
+    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims) + eps)
+
+
 def quat_exp(v: jax.Array) -> jax.Array:
-    """exp map: rotation vector v (axis*angle) -> quaternion."""
-    angle = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    # sinc-safe
+    """exp map: rotation vector v (axis*angle) -> quaternion. AD-safe
+    at v = 0 (smooth safe_norm + sinc series)."""
+    angle = safe_norm(v, keepdims=True)
     s = jnp.where(angle < 1e-6, 0.5 - angle * angle / 48.0,
-                  jnp.sin(0.5 * angle) / jnp.maximum(angle, _EPS))
+                  jnp.sin(0.5 * angle) / angle)
     return jnp.concatenate([jnp.cos(0.5 * angle), v * s], axis=-1)
 
 
 def quat_log(q: jax.Array) -> jax.Array:
-    """log map: quaternion -> rotation vector (inverse of quat_exp)."""
+    """log map: quaternion -> rotation vector (inverse of quat_exp).
+    AD-safe at q = identity."""
     q = q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)  # shortest arc
     w = jnp.clip(q[..., 0:1], -1.0, 1.0)
-    vnorm = jnp.linalg.norm(q[..., 1:4], axis=-1, keepdims=True)
+    vnorm = safe_norm(q[..., 1:4], keepdims=True)
     angle = 2.0 * jnp.arctan2(vnorm, w)
-    scale = jnp.where(vnorm < 1e-9, 2.0, angle / jnp.maximum(vnorm, _EPS))
+    # smooth near identity: angle/vnorm -> 2/w as vnorm -> 0
+    scale = angle / vnorm
     return q[..., 1:4] * scale
 
 

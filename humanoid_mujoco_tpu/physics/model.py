@@ -164,10 +164,14 @@ class Model:
     sph_pos: jax.Array        # (nsph, 3) center in body frame
     sph_radius: jax.Array     # (nsph,)
     sph_friction: jax.Array   # (nsph,) tangential friction coef
+    sph_friction_tor: jax.Array   # (nsph,) torsional friction
+    sph_friction_roll: jax.Array  # (nsph,) rolling friction
 
     # floor: heightfield z(x, y) = floor_z + hfield bilinear sample
     floor_z: jax.Array        # () base floor height (world z)
     floor_friction: jax.Array  # ()
+    floor_friction_tor: jax.Array   # ()
+    floor_friction_roll: jax.Array  # ()
     hfield_data: jax.Array    # (nhrow, nhcol) heights in meters (>= 0)
     hfield_halfsize: jax.Array  # (2,) half-extent in x, y
 
@@ -222,6 +226,8 @@ class ModelBuilder:
         self._sites: List[dict] = []
         self.floor_z = 0.0
         self.floor_friction = 1.0
+        self.floor_friction_tor = 0.005
+        self.floor_friction_roll = 0.0001
         self.has_floor = True
         self.hfield_shape = (2, 2)
         self.hfield_halfsize = (10.0, 10.0)
@@ -261,9 +267,12 @@ class ModelBuilder:
         return len(self._acts) - 1
 
     def add_sphere(self, body: int, pos=(0, 0, 0), radius: float = 0.02,
-                   friction: float = 1.0) -> int:
+                   friction: float = 1.0, friction_tor: float = 0.005,
+                   friction_roll: float = 0.0001) -> int:
+        # MuJoCo default torsional/rolling coefficients (0.005, 0.0001)
         self._sphs.append(dict(body=body, pos=pos, radius=radius,
-                               friction=friction))
+                               friction=friction, friction_tor=friction_tor,
+                               friction_roll=friction_roll))
         return len(self._sphs) - 1
 
     def add_pair(self, sph_a: int, sph_b: int):
@@ -388,8 +397,14 @@ class ModelBuilder:
                            (nsph,)),
             sph_friction=arr([s["friction"] for s in self._sphs],
                              (nsph,)),
+            sph_friction_tor=arr([s["friction_tor"] for s in self._sphs],
+                                 (nsph,)),
+            sph_friction_roll=arr([s["friction_roll"] for s in self._sphs],
+                                  (nsph,)),
             floor_z=arr(self.floor_z, ()),
             floor_friction=arr(self.floor_friction, ()),
+            floor_friction_tor=arr(self.floor_friction_tor, ()),
+            floor_friction_roll=arr(self.floor_friction_roll, ()),
             hfield_data=jnp.zeros(self.hfield_shape, dtype=dtype),
             hfield_halfsize=arr(self.hfield_halfsize, (2,)),
             dt=arr(self.dt, ()),

@@ -124,17 +124,34 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
         # lin velocity jacobian of the point for every dof: (ncon, nv, 3)
         jac_pt = (kin.cdof[None, :, 3:]
                   + jnp.cross(kin.cdof[None, :, :3], rel[:, None, :]))
-        jac = (mask_b - mask_a)[:, :, None] * jac_pt      # (ncon, nv, 3)
+        dmask = (mask_b - mask_a)[:, :, None]
+        jac = dmask * jac_pt                              # (ncon, nv, 3)
+        # relative ANGULAR jacobian for torsional/rolling friction
+        jac_ang = dmask * kin.cdof[None, :, :3]           # (ncon, nv, 3)
 
         t1, t2 = tangent_frame(contacts.normal)
         Jn = jnp.einsum("cvk,ck->cv", jac, contacts.normal)
         Jt1 = jnp.einsum("cvk,ck->cv", jac, t1)
         Jt2 = jnp.einsum("cvk,ck->cv", jac, t2)
+        # angular components: spin about n, roll about t1/t2
+        Js = jnp.einsum("cvk,ck->cv", jac_ang, contacts.normal)
+        Jr1 = jnp.einsum("cvk,ck->cv", jac_ang, t1)
+        Jr2 = jnp.einsum("cvk,ck->cv", jac_ang, t2)
         mu = contacts.friction[:, None]
-        pyramid = jnp.stack([Jn + mu * Jt1, Jn - mu * Jt1,
-                             Jn + mu * Jt2, Jn - mu * Jt2], axis=1)
-        pyramid = pyramid.reshape(ncon * 4, nv)
-        cpos = jnp.repeat(contacts.dist, 4)
+        mu_t = contacts.friction_tor[:, None]
+        mu_r = contacts.friction_roll[:, None]
+        # condim-6 pyramid: 2*(condim-1) = 10 unilateral rows/contact
+        # (world.xml:19 condim 6; feet friction "0.8 0.02 0.01" — the
+        # rolling term is the ball-footed robot's stand stabilizer)
+        pyramid = jnp.stack([
+            Jn + mu * Jt1, Jn - mu * Jt1,
+            Jn + mu * Jt2, Jn - mu * Jt2,
+            Jn + mu_t * Js, Jn - mu_t * Js,
+            Jn + mu_r * Jr1, Jn - mu_r * Jr1,
+            Jn + mu_r * Jr2, Jn - mu_r * Jr2,
+        ], axis=1)
+        pyramid = pyramid.reshape(ncon * 10, nv)
+        cpos = jnp.repeat(contacts.dist, 10)
         cvel = pyramid @ qvel
         cd = impedance(m.solimp, -cpos)
         rows = pyramid

@@ -52,6 +52,7 @@ class StepInfo:
     contact_force: jax.Array  # (ncon,) normal force magnitude
     qacc: jax.Array          # (nv,)
     actuator_force: jax.Array  # (nu,) joint torques AFTER gear
+    qfrc_total: jax.Array    # (nv,) smooth + constraint generalized force
     diverged: jax.Array      # () bool
 
 
@@ -96,11 +97,12 @@ def forward(m: Model, state: State, ctrl: jax.Array,
         M, Mchol, qfrc_smooth, efc, niter=solver_iters)
     qfrc_total = qfrc_smooth + qfrc_constraint
 
-    # contact normal forces: sum the 4 pyramid-edge forces per slot
+    # contact normal forces: sum the 10 pyramid-edge forces per slot
+    # (every condim-6 edge has unit normal coefficient)
     nlim = _num_limit_rows(m)
     ncon = m.ncon
-    if ncon and efc_f.shape[0] >= nlim + 4 * ncon:
-        cf = efc_f[nlim:nlim + 4 * ncon].reshape(ncon, 4).sum(axis=-1)
+    if ncon and efc_f.shape[0] >= nlim + 10 * ncon:
+        cf = efc_f[nlim:nlim + 10 * ncon].reshape(ncon, 10).sum(axis=-1)
     else:
         cf = jnp.zeros((ncon,), dtype=dtype)
 
@@ -131,7 +133,8 @@ def forward(m: Model, state: State, ctrl: jax.Array,
         xpos=kin.xpos, xquat=kin.xquat, xipos=kin.xipos,
         site_xpos=kin.site_xpos, com=kin.anchor, com_vel=vel.com_vel,
         contact_dist=contacts.dist, contact_force=cf,
-        qacc=qacc, actuator_force=actuator_force, diverged=diverged)
+        qacc=qacc, actuator_force=actuator_force, qfrc_total=qfrc_total,
+        diverged=diverged)
     return qacc, qfrc_total, M, info
 
 

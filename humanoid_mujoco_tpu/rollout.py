@@ -61,7 +61,8 @@ def rollout_spline(m: Model, task: Task, s0: State, times: jax.Array,
         body, s0, xs, length=None if xfrc_seq is not None else horizon)
 
     costs = cost_value(task, residuals)
-    total = jnp.sum(costs)
+    # normalize by horizon (UpdateReturn, mjpc/trajectory.cc:325)
+    total = jnp.sum(costs) / jnp.maximum(costs.shape[0], 1)
     bad = jnp.logical_or(jnp.any(diverged), ~jnp.isfinite(total))
     total = jnp.where(bad, MAX_RETURN, total)
     return RolloutResult(total_return=total, costs=costs,
@@ -84,7 +85,8 @@ def rollout_actions(m: Model, task: Task, s0: State, actions: jax.Array,
 
     s_end, (residuals, diverged) = jax.lax.scan(body, s0, actions)
     costs = cost_value(task, residuals)
-    total = jnp.sum(costs)
+    # normalize by horizon (UpdateReturn, mjpc/trajectory.cc:325)
+    total = jnp.sum(costs) / jnp.maximum(costs.shape[0], 1)
     bad = jnp.logical_or(jnp.any(diverged), ~jnp.isfinite(total))
     total = jnp.where(bad, MAX_RETURN, total)
     return RolloutResult(total_return=total, costs=costs,

@@ -1,0 +1,115 @@
+"""Robot-facing TCP/JSON MPC server — the controllers/mpc_server.py
+analog.
+
+Protocol (mpc_server.py:32-65): client sends one JSON object
+  {"joint_pos": [12], "joint_vel": [12], "ang_vel": [3], "quat": [4]}
+per request; server replies a JSON list of 12 torques (or position
+targets when position_mode, TORQUE_TO_POSITION_MULTIPLIER=0.3,
+mpc_server.py:8-20).
+
+Per request: re-estimate the full state (height scan), run H planner
+iterations, return the policy action (compute_action,
+controllers/mpc_utils.py:89-106).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..agent import Agent
+from .state_estimation import set_robot_state
+
+TORQUE_TO_POSITION_MULTIPLIER = 0.3   # mpc_server.py:16
+DEFAULT_PORT = 5555                   # mpc_server.py:22
+
+
+class MPCServer:
+    def __init__(self, agent: Agent, planner_iterations: int = 2,
+                 position_mode: bool = False, port: int = DEFAULT_PORT,
+                 host: str = "127.0.0.1"):
+        self.agent = agent
+        self.planner_iterations = planner_iterations
+        self.position_mode = position_mode
+        self.port = port
+        self.host = host
+        self._sock: Optional[socket.socket] = None
+        self._stop = threading.Event()
+
+    def compute_action(self, joint_pos, joint_vel, ang_vel, quat):
+        """State re-estimation + plan + action (mpc_utils.py:89-106)."""
+        state = set_robot_state(self.agent.model, joint_pos, joint_vel,
+                                ang_vel, quat)
+        self.agent.state = state
+        for _ in range(self.planner_iterations):
+            self.agent.planner_step()
+        action = self.agent.get_action()
+        if self.position_mode:
+            # convert torque command to joint position targets
+            action = (np.asarray(joint_pos)
+                      + TORQUE_TO_POSITION_MULTIPLIER * action)
+        return np.asarray(action)
+
+    def handle(self, conn: socket.socket):
+        buf = b""
+        with conn:
+            while not self._stop.is_set():
+                data = conn.recv(65536)
+                if not data:
+                    break
+                buf += data
+                try:
+                    msg = json.loads(buf.decode())
+                except json.JSONDecodeError:
+                    continue  # partial message
+                buf = b""
+                t0 = time.perf_counter()
+                try:
+                    action = self.compute_action(
+                        msg["joint_pos"], msg["joint_vel"],
+                        msg["ang_vel"], msg["quat"])
+                    reply = json.dumps(
+                        [float(x) for x in action]).encode()
+                except (KeyError, ValueError, TypeError) as e:
+                    reply = json.dumps({"error": str(e)}).encode()
+                conn.sendall(reply)
+                dt = time.perf_counter() - t0
+                # control-frequency probe (mpc_server.py:67-69)
+                print(f"control frequency: {1.0 / max(dt, 1e-9):.1f} Hz",
+                      flush=True)
+
+    def serve_forever(self):
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((self.host, self.port))
+        self._sock.listen(1)
+        print(f"MPC server listening on {self.host}:{self.port}")
+        while not self._stop.is_set():
+            try:
+                self._sock.settimeout(1.0)
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            self.handle(conn)
+
+    def stop(self):
+        self._stop.set()
+        if self._sock is not None:
+            self._sock.close()
+
+
+def serve(planner: str = "ilqg", port: int = DEFAULT_PORT, **agent_kw):
+    from ..physics.humanoid import build_humanoid
+    from ..tasks import stand_task
+    agent = Agent(build_humanoid(), stand_task(), planner=planner,
+                  **agent_kw)
+    MPCServer(agent, port=port).serve_forever()
+
+
+if __name__ == "__main__":
+    serve()

@@ -50,7 +50,8 @@ def stand_residual(m: Model, task: Task, state: State, info: StepInfo,
     com_vel = info.com_vel               # whole-robot COM velocity
     capture = com_pos[:2] + K_FALL_TIME * com_vel[:2]
     feet_xy = 0.5 * (f1[:2] + f2[:2])
-    balance = jnp.linalg.norm(feet_xy - capture)
+    from ..physics.math import safe_norm
+    balance = safe_norm(feet_xy - capture)
 
     return jnp.concatenate([
         jnp.stack([height_err, balance]),

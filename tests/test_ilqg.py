@@ -1,0 +1,194 @@
+"""iLQG tests: tangent-space maps, AD-vs-FD Jacobians, analytic LQR
+oracle for the Riccati backward pass (the reference's test strategy,
+mjpc/test/lqr.cc + ilqg_planner/backward_pass_test.cc), and
+cost-decrease planner checks on the pendulum.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from humanoid_mujoco_tpu.physics import humanoid
+from humanoid_mujoco_tpu.physics.model import (ActuatorType, JointType,
+                                               ModelBuilder, State,
+                                               make_state)
+from humanoid_mujoco_tpu.physics.tangent import (qpos_diff, state_add,
+                                                 state_diff)
+from humanoid_mujoco_tpu.planners.derivatives import (Derivatives,
+                                                      step_tangent_jacobians,
+                                                      trajectory_derivatives)
+from humanoid_mujoco_tpu.planners.ilqg import (ILQGConfig, backward_pass,
+                                               ilqg_action, ilqg_init,
+                                               ilqg_plan)
+from humanoid_mujoco_tpu.tasks.base import TermSpec, make_task
+from humanoid_mujoco_tpu.ops.norms import NormType
+
+F64 = jnp.float64
+
+
+def pendulum_model(dt=0.01):
+    b = ModelBuilder(dt=dt)
+    b.has_floor = False
+    body = b.add_body("pend", -1, mass=1.0, ipos=(0, 0, -0.5),
+                      inertia=(0.05, 0.05, 0.001))
+    jnt = b.add_joint("hinge", body, JointType.HINGE, axis=(0, 1, 0),
+                      damping=0.1)
+    b.add_actuator(jnt, ActuatorType.MOTOR, gear=1.0, ctrlrange=(-10, 10),
+                   forcerange=(-10, 10))
+    return b.finalize(dtype=F64)
+
+
+def pendulum_task():
+    # drive the joint to angle pi (upright) with small control
+    def residual(m, task, state, info, ctrl):
+        return jnp.concatenate([
+            jnp.asarray([state.qpos[0] - task.params[0],
+                         state.qvel[0]]), ctrl])
+
+    terms = (TermSpec("angle", 1, NormType.QUADRATIC),
+             TermSpec("vel", 1, NormType.QUADRATIC),
+             TermSpec("ctrl", 1, NormType.QUADRATIC))
+    return make_task("pend-swing", terms, residual, (10.0, 0.1, 0.01),
+                     params=(np.pi,), param_names=("target",), dtype=F64)
+
+
+class TestTangent:
+    def test_add_diff_roundtrip_humanoid(self):
+        m = humanoid.build_humanoid(dtype=F64)
+        rng = np.random.default_rng(3)
+        q0 = jnp.asarray(np.array(humanoid.stand_qpos(m)))
+        dq = jnp.asarray(rng.uniform(-0.1, 0.1, size=m.nv))
+        q1 = state_add(m, q0, dq)
+        back = qpos_diff(m, q1, q0)
+        np.testing.assert_allclose(np.array(back), np.array(dq), atol=1e-12)
+
+    def test_diff_add_roundtrip(self):
+        m = humanoid.build_humanoid(dtype=F64)
+        rng = np.random.default_rng(4)
+        q0 = jnp.asarray(np.array(humanoid.stand_qpos(m)))
+        q1 = state_add(m, q0, jnp.asarray(rng.uniform(-0.2, 0.2, m.nv)))
+        dq = qpos_diff(m, q1, q0)
+        q1b = state_add(m, q0, dq)
+        np.testing.assert_allclose(np.array(q1b), np.array(q1), atol=1e-12)
+
+
+class TestJacobians:
+    def test_ad_jacobian_matches_fd_pendulum(self):
+        m = pendulum_model()
+        s = make_state(m, qpos=jnp.asarray([0.7], dtype=F64),
+                       qvel=jnp.asarray([0.3], dtype=F64))
+        u = jnp.asarray([0.2], dtype=F64)
+        from humanoid_mujoco_tpu.physics.step import step
+        s1, _ = step(m, s, u)
+        A, B = step_tangent_jacobians(m, s.qpos, s.qvel, u, s.time,
+                                      s1.qpos, s1.qvel)
+        # FD reference
+        eps = 1e-6
+
+        def f(qp, qv, uu):
+            s2, _ = step(m, State(qp, qv, s.time), uu)
+            return np.concatenate([np.array(s2.qpos), np.array(s2.qvel)])
+
+        A_fd = np.zeros((2, 2))
+        base = f(s.qpos, s.qvel, u)
+        A_fd[:, 0] = (f(s.qpos + eps, s.qvel, u) - base) / eps
+        A_fd[:, 1] = (f(s.qpos, s.qvel + eps, u) - base) / eps
+        B_fd = ((f(s.qpos, s.qvel, u + eps) - base) / eps).reshape(2, 1)
+        np.testing.assert_allclose(np.array(A), A_fd, atol=1e-5)
+        np.testing.assert_allclose(np.array(B), B_fd, atol=1e-5)
+
+
+class TestBackwardPassLQR:
+    def test_matches_numpy_riccati(self):
+        # random stable linear system + quadratic cost: K, du from
+        # backward_pass must equal the textbook finite-horizon LQR
+        rng = np.random.default_rng(0)
+        T, nx, nu = 12, 4, 2
+        A = np.stack([np.eye(nx) + 0.05 * rng.standard_normal((nx, nx))
+                      for _ in range(T)])
+        B = np.stack([0.1 * rng.standard_normal((nx, nu))
+                      for _ in range(T)])
+        Q = np.eye(nx) * 0.5
+        R = np.eye(nu) * 0.2
+        q = rng.standard_normal((T, nx)) * 0.1
+        r = rng.standard_normal((T, nu)) * 0.1
+
+        derivs = Derivatives(
+            A=jnp.asarray(A), B=jnp.asarray(B),
+            cx=jnp.asarray(q), cu=jnp.asarray(r),
+            cxx=jnp.asarray(np.tile(Q, (T, 1, 1))),
+            cxu=jnp.zeros((T, nx, nu), dtype=F64),
+            cuu=jnp.asarray(np.tile(R, (T, 1, 1))))
+        du, K, dV = backward_pass(derivs, jnp.asarray(0.0, dtype=F64))
+
+        # numpy oracle
+        Vx = np.zeros(nx)
+        Vxx = np.zeros((nx, nx))
+        K_ref = np.zeros((T, nu, nx))
+        du_ref = np.zeros((T, nu))
+        for t in reversed(range(T)):
+            Qx = q[t] + A[t].T @ Vx
+            Qu = r[t] + B[t].T @ Vx
+            Qxx = Q + A[t].T @ Vxx @ A[t]
+            Qux = B[t].T @ Vxx @ A[t]
+            Quu = R + B[t].T @ Vxx @ B[t]
+            Kt = -np.linalg.solve(Quu, Qux)
+            dut = -np.linalg.solve(Quu, Qu)
+            K_ref[t] = Kt
+            du_ref[t] = dut
+            Vx = Qx + Kt.T @ (Quu @ dut + Qu) + Qux.T @ dut
+            Vxx = Qxx + Kt.T @ (Quu @ Kt + Qux) + Qux.T @ Kt
+            Vxx = 0.5 * (Vxx + Vxx.T)
+
+        np.testing.assert_allclose(np.array(K), K_ref, atol=1e-9)
+        np.testing.assert_allclose(np.array(du), du_ref, atol=1e-9)
+
+
+class TestILQGPendulum:
+    def test_cost_decreases_and_reaches_target(self):
+        m = pendulum_model(dt=0.05)
+        task = pendulum_task()
+        s0 = make_state(m)
+        cfg = ILQGConfig(horizon=30, n_linesearch=6, solver_iters=2,
+                         deriv_solver_iters=2)
+        ps = ilqg_init(m, cfg, s0)
+        plan = jax.jit(lambda ps, s: ilqg_plan(m, task, cfg, ps, s))
+        returns = []
+        nominal0 = None
+        for _ in range(12):
+            ps, info = plan(ps, s0)
+            if nominal0 is None:
+                nominal0 = float(info.nominal_return)
+            returns.append(float(info.best_return))
+        # large reduction vs the zero-policy nominal (measured 1480 -> 274)
+        assert returns[-1] < nominal0 * 0.25
+        # near-monotone: accepted iterations never increase best return
+        # beyond numerical wiggle
+        assert returns[-1] <= min(returns) * 1.01
+        # final nominal trajectory approaches the target angle
+        final_angle = float(ps.policy.qpos_nom[-1, 0])
+        assert abs(final_angle - np.pi) < 0.5
+
+    def test_feedback_action_rejects_perturbation(self):
+        m = pendulum_model(dt=0.05)
+        task = pendulum_task()
+        s0 = make_state(m)
+        cfg = ILQGConfig(horizon=30, n_linesearch=6, solver_iters=2,
+                         deriv_solver_iters=2)
+        ps = ilqg_init(m, cfg, s0)
+        plan = jax.jit(lambda ps, s: ilqg_plan(m, task, cfg, ps, s))
+        for _ in range(8):
+            ps, _ = plan(ps, s0)
+        pol = ps.policy
+        # K must produce a corrective action for a perturbed state
+        # (perturb toward smaller ctrl: swing-up u_nom starts saturated
+        # at +10, so test the unsaturated correction direction)
+        u_nom = ilqg_action(m, pol, pol.qpos_nom[0], pol.qvel_nom[0],
+                            pol.times[0])
+        u_pert = ilqg_action(m, pol, pol.qpos_nom[0] + 0.2,
+                             pol.qvel_nom[0] + 0.5, pol.times[0])
+        assert not np.allclose(np.array(u_nom), np.array(u_pert),
+                               atol=1e-6)
