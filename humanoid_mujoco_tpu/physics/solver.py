@@ -196,13 +196,22 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
 
 
 def newton_solve(M: jax.Array, Mchol: jax.Array, qfrc_smooth: jax.Array,
-                 efc: Efc, niter: int = 8, ls_iter: int = 16
+                 efc: Efc, niter: int = 8, ls_iter: int = 16,
+                 active_rows: int = 0
                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Minimize the soft-constraint objective over qacc.
 
     Returns (qacc, efc_force, qfrc_constraint). The reference relies on
     MuJoCo's Newton solver for the same problem; here the solver is
     branch-free with static iteration counts so it vmaps across rollouts.
+
+    Active-set reduction (`active_rows` > 0): gather the rows with the
+    smallest signed distance before the Newton loop — a static-shape
+    analog of mj_makeConstraint's dynamic row count. MEASURED SLOWER on
+    TPU (46k vs 65k steps/s at batch 1024: the batched gather costs more
+    than the dense MXU matmuls it saves), so it is DISABLED by default;
+    useful on CPU/GPU backends where gathers are cheap relative to
+    dense contraction.
     """
     a_s = linalg.chol_solve(Mchol, qfrc_smooth)
     ne = efc.J.shape[0]
@@ -211,7 +220,22 @@ def newton_solve(M: jax.Array, Mchol: jax.Array, qfrc_smooth: jax.Array,
         z = jnp.zeros((0,), dtype=dtype)
         return a_s, z, jnp.zeros_like(qfrc_smooth)
 
-    J, aref, D = efc.J, efc.aref, efc.D
+    if 0 < active_rows < ne:
+        _, sel = jax.lax.top_k(-efc.pos, active_rows)
+        J, aref, D = efc.J[sel], efc.aref[sel], efc.D[sel]
+    else:
+        sel = None
+        J, aref, D = efc.J, efc.aref, efc.D
+
+    # parallel linesearch grid: phi'(alpha) is monotone (convex
+    # objective) and piecewise-linear in alpha, so evaluating it on a
+    # fixed log-spaced grid in ONE fused kernel and linearly
+    # interpolating the zero crossing replaces ~21 SEQUENTIAL bisection
+    # loop iterations (which dominated step time on TPU: loop-iteration
+    # overhead >> the tiny per-step math).
+    ls_grid = jnp.concatenate([
+        jnp.zeros((1,), dtype=dtype),
+        jnp.logspace(-3.0, jnp.log10(4.0), ls_iter - 1).astype(dtype)])
 
     def newton_iter(_, x):
         r = J @ x - aref
@@ -220,34 +244,33 @@ def newton_solve(M: jax.Array, Mchol: jax.Array, qfrc_smooth: jax.Array,
         g = M @ (x - a_s) + J.T @ (Da * r)
         H = M + (J.T * Da) @ J
         p = -linalg.chol_solve(linalg.chol_factor(H), g)
-        # --- linesearch: phi'(alpha) is monotone (convex objective) ---
         Jp = J @ p
-        Mp = M @ p
-        pMp = p @ Mp
+        pMp = p @ (M @ p)
         b0 = p @ (M @ (x - a_s))
 
-        def dphi(alpha):
-            ra = r + alpha * Jp
-            return b0 + alpha * pMp + jnp.sum(
-                D * (ra < 0).astype(dtype) * ra * Jp)
-
-        # bracket: expand hi until dphi(hi) >= 0 (4 doublings from 1.0)
-        def expand(_, hi):
-            return jnp.where(dphi(hi) < 0, hi * 2.0, hi)
-        hi = lax.fori_loop(0, 5, expand, jnp.asarray(1.0, dtype=dtype))
-
-        def bisect(_, lohi):
-            lo, hi = lohi
-            mid = 0.5 * (lo + hi)
-            neg = dphi(mid) < 0
-            return (jnp.where(neg, mid, lo), jnp.where(neg, hi, mid))
-        lo, hi = lax.fori_loop(0, ls_iter, bisect,
-                               (jnp.zeros((), dtype=dtype), hi))
-        alpha = 0.5 * (lo + hi)
+        # dphi on the whole grid at once: (LS, ne) -> (LS,)
+        ra = r[None, :] + ls_grid[:, None] * Jp[None, :]     # (LS, ne)
+        dphi = (b0 + ls_grid * pMp
+                + jnp.sum((D * Jp)[None, :] * jnp.where(ra < 0, ra, 0.0),
+                          axis=1))                            # (LS,)
+        # last grid point with dphi < 0 brackets the root from the left
+        neg = dphi < 0
+        i_lo = jnp.maximum(jnp.sum(neg.astype(jnp.int32)) - 1, 0)
+        i_hi = jnp.minimum(i_lo + 1, ls_iter - 1)
+        d_lo, d_hi = dphi[i_lo], dphi[i_hi]
+        a_lo, a_hi = ls_grid[i_lo], ls_grid[i_hi]
+        frac = jnp.clip(d_lo / jnp.minimum(d_lo - d_hi, -1e-12), 0.0, 1.0)
+        alpha = jnp.where(neg[-1], ls_grid[-1],          # all negative
+                          a_lo + frac * (a_hi - a_lo))
+        alpha = jnp.where(neg[0], alpha, 0.0)            # ascent guard
         return x + alpha * p
 
     x = lax.fori_loop(0, niter, newton_iter, a_s)
     r = J @ x - aref
-    f = jnp.maximum(-D * r, 0.0) * (r < 0).astype(dtype)
-    qfrc_constraint = J.T @ f
+    f_sel = jnp.maximum(-D * r, 0.0) * (r < 0).astype(dtype)
+    qfrc_constraint = J.T @ f_sel
+    if sel is not None:
+        f = jnp.zeros((ne,), dtype=dtype).at[sel].set(f_sel)
+    else:
+        f = f_sel
     return x, f, qfrc_constraint

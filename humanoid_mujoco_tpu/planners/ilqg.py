@@ -146,7 +146,8 @@ def ilqg_action(m: Model, policy: ILQGPolicy, qpos: jax.Array,
 
 def _feedback_rollout(m: Model, task: Task, s0: State, policy: ILQGPolicy,
                       du: jax.Array, alpha: jax.Array, solver_iters: int,
-                      k_scale: jax.Array | float = 1.0
+                      k_scale: jax.Array | float = 1.0,
+                      terminal=None
                       ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Roll u_t = clamp(u_nom_t + alpha*du_t + k_scale*K_t (x ⊖ x_nom_t)).
 
@@ -175,7 +176,11 @@ def _feedback_rollout(m: Model, task: Task, s0: State, policy: ILQGPolicy,
 
     s_end, (qp, qv, u, costs, div) = jax.lax.scan(
         body, s0, jnp.arange(T))
-    total = jnp.sum(costs) / jnp.maximum(T, 1)
+    total = jnp.sum(costs)
+    if terminal is not None:
+        from .terminal import terminal_value
+        total = total + terminal_value(m, terminal, s_end.qpos, s_end.qvel)
+    total = total / jnp.maximum(T, 1)
     bad = jnp.logical_or(jnp.any(div), ~jnp.isfinite(total))
     total = jnp.where(bad, MAX_RETURN, total)
     qp = jnp.concatenate([qp, s_end.qpos[None]], axis=0)
@@ -183,7 +188,7 @@ def _feedback_rollout(m: Model, task: Task, s0: State, policy: ILQGPolicy,
     return total, qp, qv, u
 
 
-def backward_pass(derivs, reg: jax.Array
+def backward_pass(derivs, reg: jax.Array, terminal_init=None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Riccati recursion as lax.scan (backward_pass.cc:65-250, control
     regularization mode: Quu + reg*I). Returns (du (T,nu), K (T,nu,2nv),
@@ -212,8 +217,14 @@ def backward_pass(derivs, reg: jax.Array
         dV_n = dV + jnp.stack([Qu @ du, 0.5 * du @ (Quu @ du)])
         return (Vx_n, Vxx_n, dV_n), (du, K)
 
-    init = (jnp.zeros(nx, dtype=dtype), jnp.zeros((nx, nx), dtype=dtype),
-            jnp.zeros(2, dtype=dtype))
+    if terminal_init is not None:
+        Vx0, Vxx0 = terminal_init
+        init = (Vx0.astype(dtype), Vxx0.astype(dtype),
+                jnp.zeros(2, dtype=dtype))
+    else:
+        init = (jnp.zeros(nx, dtype=dtype),
+                jnp.zeros((nx, nx), dtype=dtype),
+                jnp.zeros(2, dtype=dtype))
     inputs = (derivs.A, derivs.B, derivs.cx, derivs.cu, derivs.cxx,
               derivs.cxu, derivs.cuu)
     (_, _, dV), (du, K) = jax.lax.scan(rstep, init, inputs, reverse=True)
@@ -221,9 +232,13 @@ def backward_pass(derivs, reg: jax.Array
 
 
 def ilqg_plan(m: Model, task: Task, cfg: ILQGConfig, pstate: ILQGState,
-              state: State, rng: jax.Array | None = None
-              ) -> Tuple[ILQGState, ILQGInfo]:
-    """One OptimizePolicy iteration (ilqg/planner.cc:156-164, 377-615)."""
+              state: State, rng: jax.Array | None = None,
+              terminal=None) -> Tuple[ILQGState, ILQGInfo]:
+    """One OptimizePolicy iteration (ilqg/planner.cc:156-164, 377-615).
+
+    `terminal` (planners.terminal.TerminalCost, optional) adds an
+    infinite-horizon LQR cost-to-go at the horizon tail — both in the
+    rollout returns and as the backward-pass initialization."""
     dtype = state.qpos.dtype
     T = cfg.horizon
     old = pstate.policy
@@ -240,7 +255,8 @@ def ilqg_plan(m: Model, task: Task, cfg: ILQGConfig, pstate: ILQGState,
     def nom_roll(ks):
         return _feedback_rollout(m, task, state, old, zero_du,
                                  jnp.asarray(0.0, dtype=dtype),
-                                 cfg.solver_iters, k_scale=ks)
+                                 cfg.solver_iters, k_scale=ks,
+                                 terminal=terminal)
 
     nrets, nqp, nqv, nu_ = jax.vmap(nom_roll)(k_scales)
     nbest = jnp.argmin(nrets)
@@ -255,8 +271,13 @@ def ilqg_plan(m: Model, task: Task, cfg: ILQGConfig, pstate: ILQGState,
         m, task, qp, qv, u, times, solver_iters=cfg.deriv_solver_iters,
         skip=cfg.skip)
 
-    # 3. Riccati backward pass
-    du, K, dV = backward_pass(derivs, pstate.reg)
+    # 3. Riccati backward pass (terminal V from the DARE if provided)
+    if terminal is not None:
+        from .terminal import terminal_gradient
+        tinit = terminal_gradient(m, terminal, qp[-1], qv[-1])
+    else:
+        tinit = None
+    du, K, dV = backward_pass(derivs, pstate.reg, terminal_init=tinit)
     nominal = nominal.replace(K=K)
 
     # 4. parallel line search over log-spaced alphas (planner.cc:618-680)
@@ -264,7 +285,8 @@ def ilqg_plan(m: Model, task: Task, cfg: ILQGConfig, pstate: ILQGState,
 
     def ls(alpha):
         r, qpa, qva, ua = _feedback_rollout(
-            m, task, state, nominal, du, alpha, cfg.solver_iters)
+            m, task, state, nominal, du, alpha, cfg.solver_iters,
+            terminal=terminal)
         return r, qpa, qva, ua
 
     returns, qps, qvs, us = jax.vmap(ls)(alphas)
