@@ -78,11 +78,14 @@ def ppo_init(cfg: PPOConfig, env_cfg: EnvConfig, base_model: Model,
 
 def _gae(rewards, values, last_value, dones, gamma, lam):
     """rewards/values/dones: (T, B); returns (advantages, returns)."""
+    gamma = jnp.asarray(gamma, dtype=values.dtype)
+    lam = jnp.asarray(lam, dtype=values.dtype)
+
     def body(carry, x):
         gae, next_v = carry
         r, v, d = x
         nonterm = 1.0 - d
-        delta = r + gamma * next_v * nonterm - v
+        delta = (r + gamma * next_v * nonterm - v).astype(values.dtype)
         gae = delta + gamma * lam * nonterm * gae
         return (gae, v), gae
 

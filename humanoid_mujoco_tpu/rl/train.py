@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--ckpt-every", type=int, default=100)
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint .pkl to resume network params from "
+                         "(rl/train.py --ckpt resume, train.py:103-108)")
     args = ap.parse_args(argv)
 
     from .curriculum import curriculum_init, curriculum_update
@@ -65,6 +68,14 @@ def main(argv=None):
         train_step = jax.jit(lambda s: ppo_train_step(
             cfg, env_cfg, base_model, nets, s))
         steps_per_iter = cfg.rollout_len * cfg.n_envs
+
+    if args.ckpt:
+        import pickle
+        with open(args.ckpt, "rb") as f:
+            loaded = pickle.load(f)
+        params = jax.tree.map(jnp.asarray, loaded)
+        state = state.__class__(**{**state.__dict__, "params": params})
+        print(f"resumed params from {args.ckpt}")
 
     n_iters = max(1, args.steps // steps_per_iter)
     log_path = os.path.join(args.out, "train.log.jsonl")
