@@ -66,37 +66,49 @@ class Agent:
         if planner == "ilqg":
             self.cfg = ILQGConfig(horizon=horizon)
             self.pstate = ilqg_init(self.plan_model, self.cfg, self.state)
-            self._plan = jax.jit(
-                lambda ps, s: ilqg_plan(self.plan_model, self.task,
-                                        self.cfg, ps, s))
-            self._action = jax.jit(
-                lambda pol, qp, qv, t: ilqg_action(self.model, pol, qp,
-                                                   qv, t))
         elif planner == "sampling":
             self.cfg = SamplingConfig(nsample=nsample, horizon=horizon)
             self.pstate = init_policy(model, self.cfg.nknots)
-            self._plan = jax.jit(
-                lambda p, s, k: sampling_plan(self.plan_model, self.task,
-                                              self.cfg, p, s, k))
-            self._action = jax.jit(
-                lambda pol, t: policy_action(self.model, pol, t,
-                                             self.cfg.order))
         elif planner == "cem":
             self.cfg = cem.CEMConfig(nsample=nsample, horizon=horizon)
             self.pstate = init_policy(model, self.cfg.nknots)
             self.cem_state = cem.cem_init(model, self.cfg)
-            self._plan = jax.jit(
-                lambda p, c, s, k: cem.cem_plan(self.plan_model, self.task,
-                                                self.cfg, p, c, s, k))
-            self._action = jax.jit(
-                lambda pol, t: policy_action(self.model, pol, t,
-                                             self.cfg.order))
         elif planner == "mppi":
             self.cfg = mppi.MPPIConfig(nsample=nsample, horizon=horizon)
             self.pstate = init_policy(model, self.cfg.nknots)
+        self._build_jit()
+
+    def _build_jit(self):
+        """Jitted closures. The Task is a TRACED argument (weights /
+        params / risk are pytree leaves, term structure is static aux),
+        so set_cost_weights / set_task_parameter are free: no retrace,
+        no state reset — unlike the reference's per-request gRPC hop
+        (grpc/agent.proto:34-36)."""
+        if self.planner == "ilqg":
             self._plan = jax.jit(
-                lambda p, s, k: mppi.mppi_plan(self.plan_model, self.task,
-                                               self.cfg, p, s, k))
+                lambda task, ps, s: ilqg_plan(self.plan_model, task,
+                                              self.cfg, ps, s))
+            self._action = jax.jit(
+                lambda pol, qp, qv, t: ilqg_action(self.model, pol, qp,
+                                                   qv, t))
+        elif self.planner == "sampling":
+            self._plan = jax.jit(
+                lambda task, p, s, k: sampling_plan(self.plan_model, task,
+                                                    self.cfg, p, s, k))
+            self._action = jax.jit(
+                lambda pol, t: policy_action(self.model, pol, t,
+                                             self.cfg.order))
+        elif self.planner == "cem":
+            self._plan = jax.jit(
+                lambda task, p, c, s, k: cem.cem_plan(
+                    self.plan_model, task, self.cfg, p, c, s, k))
+            self._action = jax.jit(
+                lambda pol, t: policy_action(self.model, pol, t,
+                                             self.cfg.order))
+        elif self.planner == "mppi":
+            self._plan = jax.jit(
+                lambda task, p, s, k: mppi.mppi_plan(self.plan_model, task,
+                                                     self.cfg, p, s, k))
             self._action = jax.jit(
                 lambda pol, t: policy_action(self.model, pol, t,
                                              self.cfg.order))
@@ -136,12 +148,14 @@ class Agent:
         (Agent::PlanIteration, agent.cc:270-315)."""
         self.rng, key = jax.random.split(self.rng)
         if self.planner == "ilqg":
-            self.pstate, info = self._plan(self.pstate, self.state)
+            self.pstate, info = self._plan(self.task, self.pstate,
+                                           self.state)
         elif self.planner == "cem":
             self.pstate, self.cem_state, info = self._plan(
-                self.pstate, self.cem_state, self.state, key)
+                self.task, self.pstate, self.cem_state, self.state, key)
         else:
-            self.pstate, info = self._plan(self.pstate, self.state, key)
+            self.pstate, info = self._plan(self.task, self.pstate,
+                                           self.state, key)
         self._last_info = info
         return float(info.best_return)
 
@@ -177,26 +191,18 @@ class Agent:
 
     # ---- task configuration ----
     def set_task_parameter(self, name: str, value: float):
+        """SetTaskParameters RPC analog — free: the Task is a traced jit
+        argument, so no retrace, and sim/planner state is untouched."""
         self.task = self.task.set_param(name, value)
-        self._rejit()
 
     def set_cost_weights(self, weights: Dict[str, float]):
+        """SetCostWeights RPC analog — free (see set_task_parameter)."""
         for k, v in weights.items():
             self.task = self.task.set_weight(k, v)
-        self._rejit()
 
     def get_cost_weights(self):
         return {t.name: float(self.task.weights[i])
                 for i, t in enumerate(self.task.terms)}
-
-    def _rejit(self):
-        # weights/params are pytree leaves: jitted closures capture the
-        # OLD task, so rebuild the closures (still no recompilation —
-        # only leaf values changed, shapes identical)
-        self.__init__(self.model, self.task, self.planner,
-                      float(self.plan_model.dt),
-                      self.cfg.horizon,
-                      getattr(self.cfg, "nsample", 64))
 
     # ---- introspection ----
     def get_residuals(self):

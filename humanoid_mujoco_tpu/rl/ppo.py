@@ -102,17 +102,22 @@ def ppo_train_step(cfg: PPOConfig, env_cfg: EnvConfig, base_model: Model,
     policy, value, tx = nets
 
     def act(params, obs, key):
+        # store the UNCLIPPED sample with its logp (SB3 semantics): the
+        # (action, logp_old) pair must be consistent or importance
+        # ratios at epoch 0 are biased for boundary actions; only the
+        # copy sent to the env is clipped.
         mean, log_std = policy.apply(params["pi"], obs)
         eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
         a = mean + jnp.exp(log_std) * eps
         logp = gaussian_logp(mean, log_std, a)
-        return jnp.clip(a, -1.0, 1.0), logp
+        return a, logp
 
     def collect(carry, key):
         es, obs = carry
         a, logp = act(state.params, obs, key)
         v = value.apply(state.params["v"], obs)
-        es, obs2, r, term, trunc = batch_step(env_cfg, es, a)
+        es, obs2, r, term, trunc = batch_step(env_cfg, es,
+                                              jnp.clip(a, -1.0, 1.0))
         es, obs2, done = jax.vmap(
             lambda e, o, rr, t, tr: env_auto_reset(
                 env_cfg, base_model, e, o, rr, t, tr)
@@ -169,9 +174,14 @@ def ppo_train_step(cfg: PPOConfig, env_cfg: EnvConfig, base_model: Model,
         epoch, (state.params, state.opt_state),
         jax.random.split(keys[-2], cfg.n_epochs))
 
+    # success = fraction of COMPLETED episodes that ended by truncation
+    # (standup: the success condition, reward_functions.py:356-372;
+    # walk: survived the full time limit without falling) — episode-level,
+    # not diluted per-step, and terminal-ended episodes count as failures.
+    n_done = jnp.maximum(done_t.sum(), 1.0)
     metrics = dict(loss=losses.mean(), mean_reward=r_t.mean(),
                    episode_done_rate=done_t.mean(),
-                   success_rate=trunc_t.astype(r_t.dtype).mean())
+                   success_rate=trunc_t.astype(r_t.dtype).sum() / n_done)
     new_state = PPOState(params=params, opt_state=opt_state, env_state=es,
                          obs=obs_last, rng=keys[-1],
                          update_count=state.update_count + 1)

@@ -127,11 +127,14 @@ def sac_train_step(cfg: SACConfig, env_cfg: EnvConfig, base_model: Model,
             lambda e, o, rr, t, tr: env_auto_reset(
                 env_cfg, base_model, e, o, rr, t, tr)
         )(es, obs2, r, term, trunc)
-        buf = buf.add_batch(obs, a, r, obs2, done.astype(obs.dtype))
-        return (es, obs2_reset, buf), (r, trunc)
+        # bootstrap-cut flag is TERMINAL only: time-limit truncations
+        # (incl. the standup success condition) must still bootstrap the
+        # Q target (SB3 handle_timeout_termination semantics).
+        buf = buf.add_batch(obs, a, r, obs2, term.astype(obs.dtype))
+        return (es, obs2_reset, buf), (r, term, trunc)
 
     keys = jax.random.split(state.rng, cfg.steps_per_update + 4)
-    (es, obs, buf), (rews, truncs) = jax.lax.scan(
+    (es, obs, buf), (rews, terms, truncs) = jax.lax.scan(
         env_roll, (state.env_state, state.obs, state.buffer),
         keys[:cfg.steps_per_update])
 
@@ -183,7 +186,11 @@ def sac_train_step(cfg: SACConfig, env_cfg: EnvConfig, base_model: Model,
         opt_states=dict(pi=op, q=oq, alpha=oa),
         buffer=buf, env_state=es, obs=obs, rng=keys[-4],
         step_count=state.step_count + cfg.steps_per_update * cfg.n_envs)
+    # episode-level success: completed episodes ending by truncation
+    # (standup success / walk survival), not per-step dilution.
+    dones = jnp.logical_or(terms, truncs).astype(rews.dtype)
+    n_done = jnp.maximum(dones.sum(), 1.0)
     metrics = dict(q_loss=ql, pi_loss=pl, alpha=alpha,
                    mean_reward=rews.mean(),
-                   success_rate=truncs.astype(rews.dtype).mean())
+                   success_rate=truncs.astype(rews.dtype).sum() / n_done)
     return new_state, metrics

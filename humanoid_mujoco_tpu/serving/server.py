@@ -56,32 +56,42 @@ class MPCServer:
         return np.asarray(action)
 
     def handle(self, conn: socket.socket):
-        buf = b""
+        # raw_decode consumes ONE object per pass so coalesced requests
+        # (two sends arriving in one recv) don't wedge the connection,
+        # and the remainder stays buffered for the next pass.
+        decoder = json.JSONDecoder()
+        buf = ""
         with conn:
             while not self._stop.is_set():
                 data = conn.recv(65536)
                 if not data:
                     break
-                buf += data
-                try:
-                    msg = json.loads(buf.decode())
-                except json.JSONDecodeError:
-                    continue  # partial message
-                buf = b""
-                t0 = time.perf_counter()
-                try:
-                    action = self.compute_action(
-                        msg["joint_pos"], msg["joint_vel"],
-                        msg["ang_vel"], msg["quat"])
-                    reply = json.dumps(
-                        [float(x) for x in action]).encode()
-                except (KeyError, ValueError, TypeError) as e:
-                    reply = json.dumps({"error": str(e)}).encode()
-                conn.sendall(reply)
-                dt = time.perf_counter() - t0
-                # control-frequency probe (mpc_server.py:67-69)
-                print(f"control frequency: {1.0 / max(dt, 1e-9):.1f} Hz",
-                      flush=True)
+                buf += data.decode()
+                while True:
+                    stripped = buf.lstrip()
+                    if not stripped:
+                        buf = ""
+                        break
+                    try:
+                        msg, end = decoder.raw_decode(stripped)
+                    except json.JSONDecodeError:
+                        buf = stripped  # partial message — await more
+                        break
+                    buf = stripped[end:]
+                    t0 = time.perf_counter()
+                    try:
+                        action = self.compute_action(
+                            msg["joint_pos"], msg["joint_vel"],
+                            msg["ang_vel"], msg["quat"])
+                        reply = json.dumps(
+                            [float(x) for x in action]).encode()
+                    except (KeyError, ValueError, TypeError) as e:
+                        reply = json.dumps({"error": str(e)}).encode()
+                    conn.sendall(reply)
+                    dt = time.perf_counter() - t0
+                    # control-frequency probe (mpc_server.py:67-69)
+                    print(f"control frequency: "
+                          f"{1.0 / max(dt, 1e-9):.1f} Hz", flush=True)
 
     def serve_forever(self):
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)

