@@ -197,13 +197,23 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
 
 def newton_solve(M: jax.Array, Mchol: jax.Array, qfrc_smooth: jax.Array,
                  efc: Efc, niter: int = 8, ls_iter: int = 16,
-                 active_rows: int = 0
+                 active_rows: int = 0, ift: bool = False
                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Minimize the soft-constraint objective over qacc.
 
     Returns (qacc, efc_force, qfrc_constraint). The reference relies on
     MuJoCo's Newton solver for the same problem; here the solver is
     branch-free with static iteration counts so it vmaps across rollouts.
+
+    `ift=True` — implicit-function derivatives: the Newton iterations run
+    under stop_gradient and ONE differentiable Newton step is applied at
+    the solution. Since the optimality condition g(x*, θ) = 0 holds
+    there, d x*/dθ = -H⁻¹ ∂g/∂θ — the exact IFT sensitivity at the
+    converged active set — instead of backprop through a truncated
+    iteration+linesearch unroll (which both distorts the Jacobian and
+    multiplies the AD graph). Used by the planner derivative path
+    (planners/derivatives.py); the reference has no analog (it
+    finite-differences mj_step, mjd_transitionFD).
 
     Active-set reduction (`active_rows` > 0): gather the rows with the
     smallest signed distance before the Newton loop — a static-shape
@@ -265,7 +275,22 @@ def newton_solve(M: jax.Array, Mchol: jax.Array, qfrc_smooth: jax.Array,
         alpha = jnp.where(neg[0], alpha, 0.0)            # ascent guard
         return x + alpha * p
 
-    x = lax.fori_loop(0, niter, newton_iter, a_s)
+    if ift:
+        sg = jax.lax.stop_gradient
+        # primal: converge with gradients cut, then one differentiable
+        # full Newton step at the (frozen) active set — value unchanged
+        # to solver tolerance, derivative = exact IFT sensitivity
+        xh = lax.fori_loop(0, niter, newton_iter, sg(a_s))
+        xh = sg(xh)
+        rh = sg(J) @ xh - sg(aref)
+        act = sg((rh < 0).astype(dtype))
+        Da = D * act
+        r_full = J @ xh - aref
+        g = M @ (xh - a_s) + J.T @ (Da * r_full)
+        H = M + (J.T * Da) @ J
+        x = xh - linalg.chol_solve(linalg.chol_factor(H), g)
+    else:
+        x = lax.fori_loop(0, niter, newton_iter, a_s)
     r = J @ x - aref
     f_sel = jnp.maximum(-D * r, 0.0) * (r < 0).astype(dtype)
     qfrc_constraint = J.T @ f_sel

@@ -68,7 +68,7 @@ def _num_limit_rows(m: Model) -> int:
 
 def forward(m: Model, state: State, ctrl: jax.Array,
             xfrc: Optional[jax.Array] = None,
-            solver_iters: int = 8
+            solver_iters: int = 8, ift: bool = False
             ) -> Tuple[jax.Array, jax.Array, jax.Array, StepInfo]:
     """Forward dynamics: returns (qacc_explicit, qfrc_total, M, info).
 
@@ -94,7 +94,7 @@ def forward(m: Model, state: State, ctrl: jax.Array,
     contacts = collide(m, kin.xpos, kin.xmat)
     efc = make_efc(m, kin, qpos, qvel, contacts, Mchol)
     qacc, efc_f, qfrc_constraint = newton_solve(
-        M, Mchol, qfrc_smooth, efc, niter=solver_iters)
+        M, Mchol, qfrc_smooth, efc, niter=solver_iters, ift=ift)
     qfrc_total = qfrc_smooth + qfrc_constraint
 
     # contact normal forces: sum the 10 pyramid-edge forces per slot
@@ -164,9 +164,14 @@ def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt
 
 def step(m: Model, state: State, ctrl: jax.Array,
          xfrc: Optional[jax.Array] = None,
-         solver_iters: int = 8) -> Tuple[State, StepInfo]:
-    """Semi-implicit Euler with implicit joint damping (mj_Euler analog)."""
-    _, qfrc_total, M, info = forward(m, state, ctrl, xfrc, solver_iters)
+         solver_iters: int = 8, ift: bool = False) -> Tuple[State, StepInfo]:
+    """Semi-implicit Euler with implicit joint damping (mj_Euler analog).
+
+    `ift=True` routes the contact solve through implicit-function
+    derivatives (solver.newton_solve ift) — for AD/linearization callers.
+    """
+    _, qfrc_total, M, info = forward(m, state, ctrl, xfrc, solver_iters,
+                                     ift=ift)
     h = m.dt
     # (M + h*diag(damping)) dv = h * qfrc_total  (damping explicit in qfrc,
     # implicit in the solve — exactly MuJoCo's formulation)

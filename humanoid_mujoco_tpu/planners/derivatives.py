@@ -86,10 +86,15 @@ def residual_tangent(m: Model, task: Task, qpos: jax.Array, qvel: jax.Array,
 def step_tangent_jacobians(m: Model, qpos: jax.Array, qvel: jax.Array,
                            ctrl: jax.Array, t: jax.Array,
                            next_qpos: jax.Array, next_qvel: jax.Array,
-                           solver_iters: int = 4
+                           solver_iters: int = 4, ift: bool = True
                            ) -> Tuple[jax.Array, jax.Array]:
     """A = d x'/dx, B = d x'/du in tangent coordinates, via jacfwd
-    through the full step (the mjd_transitionFD replacement)."""
+    through the full step (the mjd_transitionFD replacement).
+
+    `ift=True` (default): the contact Newton solve contributes its exact
+    implicit-function sensitivity at the converged active set instead of
+    backprop through a truncated iteration unroll — better-conditioned
+    Quu/Qux for the backward pass and a much smaller tangent graph."""
     nv = m.nv
 
     from ..ops.linalg import native_scope
@@ -98,7 +103,7 @@ def step_tangent_jacobians(m: Model, qpos: jax.Array, qvel: jax.Array,
         dx, du = dxu[:2 * nv], dxu[2 * nv:]
         st = State(qpos=state_add(m, qpos, dx[:nv]), qvel=qvel + dx[nv:],
                    time=t)
-        s2, _ = step(m, st, ctrl + du, solver_iters=solver_iters)
+        s2, _ = step(m, st, ctrl + du, solver_iters=solver_iters, ift=ift)
         return state_diff(m, s2.qpos, s2.qvel, next_qpos, next_qvel)
 
     z = jnp.zeros(2 * nv + m.nu, dtype=qpos.dtype)
@@ -144,7 +149,7 @@ def gauss_newton_cost(task: Task, r: jax.Array, C: jax.Array, D: jax.Array
 def trajectory_derivatives(m: Model, task: Task, qpos_nom: jax.Array,
                            qvel_nom: jax.Array, ctrl_nom: jax.Array,
                            times: jax.Array, solver_iters: int = 4,
-                           skip: int = 0) -> Derivatives:
+                           skip: int = 0, ift: bool = True) -> Derivatives:
     """Batched linearization along the nominal: vmap over the horizon.
 
     qpos_nom: (T+1, nq), qvel_nom: (T+1, nv), ctrl_nom: (T, nu),
@@ -155,7 +160,7 @@ def trajectory_derivatives(m: Model, task: Task, qpos_nom: jax.Array,
 
     def ab(qp, qv, u, t, qp2, qv2):
         return step_tangent_jacobians(m, qp, qv, u, t, qp2, qv2,
-                                      solver_iters=solver_iters)
+                                      solver_iters=solver_iters, ift=ift)
 
     if skip <= 0:
         A, B = jax.vmap(ab)(qpos_nom[:-1], qvel_nom[:-1], ctrl_nom,

@@ -28,7 +28,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import linalg
+from ..ops import boxqp, linalg
 from ..physics.model import Model, State
 from ..physics.step import step
 from ..physics.tangent import state_diff
@@ -45,9 +45,19 @@ class ILQGConfig:
                                           metadata=dict(static=True))
     solver_iters: int = dataclasses.field(default=4,
                                           metadata=dict(static=True))
-    deriv_solver_iters: int = dataclasses.field(default=3,
+    deriv_solver_iters: int = dataclasses.field(default=6,
                                                metadata=dict(static=True))
+    # implicit-function derivatives through the contact solve (exact
+    # sensitivity at the converged active set; see solver.newton_solve)
+    ift: bool = dataclasses.field(default=True, metadata=dict(static=True))
     skip: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # control-limit boxQP in the backward pass (settings.h action_limits,
+    # default ON like the reference) + regularization scheme selector
+    limits: bool = dataclasses.field(default=True,
+                                     metadata=dict(static=True))
+    reg_type: int = dataclasses.field(default=0, metadata=dict(static=True))
+    boxqp_iters: int = dataclasses.field(default=8,
+                                         metadata=dict(static=True))
     reg_initial: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(1e-2))
     reg_min: jax.Array = dataclasses.field(
@@ -188,46 +198,95 @@ def _feedback_rollout(m: Model, task: Task, s0: State, policy: ILQGPolicy,
     return total, qp, qv, u
 
 
-def backward_pass(derivs, reg: jax.Array, terminal_init=None
+# regularization schemes (ilqg/backward_pass.h:28-32, settings.h:27)
+REG_CONTROL = 0        # Quu += reg*I
+REG_STATE_CONTROL = 1  # Quu += reg*B'B, Qux += reg*B'A ("feedback")
+REG_VALUE = 2          # Vxx += reg*I inside the Q-expansion
+REG_NONE = 3
+
+
+def backward_pass(derivs, reg: jax.Array, u_nom: jax.Array | None = None,
+                  ctrlrange: jax.Array | None = None,
+                  reg_type: int = REG_CONTROL, boxqp_iters: int = 8,
+                  terminal_init=None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Riccati recursion as lax.scan (backward_pass.cc:65-250, control
-    regularization mode: Quu + reg*I). Returns (du (T,nu), K (T,nu,2nv),
-    dV (2,) expected-improvement coefficients)."""
+    """Riccati recursion as lax.scan (backward_pass.cc:65-250).
+
+    When `u_nom` + `ctrlrange` are given, each step solves the
+    control-limit boxQP (mju_boxQP via backward_pass.cc:158-196):
+    du honors the per-step box [lo - u_nom_t, hi - u_nom_t] and feedback
+    rows of SATURATED actuators are zeroed — gains computed ignoring the
+    limits are wrong exactly where the stand saturates. The previous
+    step's du warm-starts the active set (the reference warm-starts
+    boxqp.res across calls).
+
+    `reg_type` selects the regularization scheme (static; default
+    control). Returns (du (T,nu), K (T,nu,2nv), dV (2,)).
+    """
     T, nx = derivs.cx.shape
     nu_ = derivs.cu.shape[1]
     dtype = derivs.cx.dtype
+    limits = u_nom is not None and ctrlrange is not None
+    if limits:
+        lo_t = ctrlrange[None, :, 0] - u_nom     # (T, nu)
+        hi_t = ctrlrange[None, :, 1] - u_nom
+    else:
+        lo_t = hi_t = jnp.zeros((T, nu_), dtype=dtype)
 
     def rstep(carry, inp):
-        Vx, Vxx, dV = carry
-        A, B, cx, cu, cxx, cxu, cuu = inp
+        Vx, Vxx, dV, du_prev = carry
+        A, B, cx, cu, cxx, cxu, cuu, lo, hi = inp
         Qx = cx + A.T @ Vx
         Qu = cu + B.T @ Vx
         VxxA = Vxx @ A
         Qxx = cxx + A.T @ VxxA
         Qux = cxu.T + B.T @ VxxA
         Quu = cuu + B.T @ (Vxx @ B)
-        Quu_reg = Quu + reg * jnp.eye(nu_, dtype=dtype)
-        L = linalg.chol_factor(Quu_reg)
-        du = -linalg.chol_solve(L, Qu)
-        K = -linalg.chol_solve(L, Qux)
-        # value update (with the standard regularized-gain corrections)
+
+        if reg_type == REG_VALUE:
+            Vxx_reg = Vxx + reg * jnp.eye(nx, dtype=dtype)
+            Qux_reg = cxu.T + B.T @ (Vxx_reg @ A)
+            Quu_reg = cuu + B.T @ (Vxx_reg @ B)
+        elif reg_type == REG_STATE_CONTROL:
+            Qux_reg = Qux + reg * (B.T @ A)
+            Quu_reg = Quu + reg * (B.T @ B)
+        elif reg_type == REG_NONE:
+            Qux_reg, Quu_reg = Qux, Quu
+        else:  # REG_CONTROL
+            Qux_reg = Qux
+            Quu_reg = Quu + reg * jnp.eye(nu_, dtype=dtype)
+
+        if limits:
+            res = boxqp.box_qp(Quu_reg, Qu, lo, hi,
+                               x0=jnp.clip(du_prev, lo, hi),
+                               iters=boxqp_iters)
+            du = res.x
+            K = -boxqp.free_solve(res, Qux_reg)
+        else:
+            L = linalg.chol_factor(Quu_reg)
+            du = -linalg.chol_solve(L, Qu)
+            K = -linalg.chol_solve(L, Qux_reg)
+
+        # value update uses the UNregularized Quu/Qux with the clamped
+        # du and limit-aware K (backward_pass.cc:219-249)
         Vx_n = Qx + K.T @ (Quu @ du + Qu) + Qux.T @ du
         Vxx_n = Qxx + K.T @ (Quu @ K + Qux) + Qux.T @ K
         Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
         dV_n = dV + jnp.stack([Qu @ du, 0.5 * du @ (Quu @ du)])
-        return (Vx_n, Vxx_n, dV_n), (du, K)
+        return (Vx_n, Vxx_n, dV_n, du), (du, K)
 
     if terminal_init is not None:
         Vx0, Vxx0 = terminal_init
         init = (Vx0.astype(dtype), Vxx0.astype(dtype),
-                jnp.zeros(2, dtype=dtype))
+                jnp.zeros(2, dtype=dtype), jnp.zeros(nu_, dtype=dtype))
     else:
         init = (jnp.zeros(nx, dtype=dtype),
                 jnp.zeros((nx, nx), dtype=dtype),
-                jnp.zeros(2, dtype=dtype))
+                jnp.zeros(2, dtype=dtype), jnp.zeros(nu_, dtype=dtype))
     inputs = (derivs.A, derivs.B, derivs.cx, derivs.cu, derivs.cxx,
-              derivs.cxu, derivs.cuu)
-    (_, _, dV), (du, K) = jax.lax.scan(rstep, init, inputs, reverse=True)
+              derivs.cxu, derivs.cuu, lo_t, hi_t)
+    (_, _, dV, _), (du, K) = jax.lax.scan(rstep, init, inputs,
+                                          reverse=True)
     return du, K, dV
 
 
@@ -269,7 +328,7 @@ def ilqg_plan(m: Model, task: Task, cfg: ILQGConfig, pstate: ILQGState,
     # 2. linearize dynamics + cost along the nominal
     derivs = trajectory_derivatives(
         m, task, qp, qv, u, times, solver_iters=cfg.deriv_solver_iters,
-        skip=cfg.skip)
+        skip=cfg.skip, ift=cfg.ift)
 
     # 3. Riccati backward pass (terminal V from the DARE if provided)
     if terminal is not None:
@@ -277,7 +336,12 @@ def ilqg_plan(m: Model, task: Task, cfg: ILQGConfig, pstate: ILQGState,
         tinit = terminal_gradient(m, terminal, qp[-1], qv[-1])
     else:
         tinit = None
-    du, K, dV = backward_pass(derivs, pstate.reg, terminal_init=tinit)
+    du, K, dV = backward_pass(
+        derivs, pstate.reg,
+        u_nom=u if cfg.limits else None,
+        ctrlrange=m.act_ctrlrange if cfg.limits else None,
+        reg_type=cfg.reg_type, boxqp_iters=cfg.boxqp_iters,
+        terminal_init=tinit)
     nominal = nominal.replace(K=K)
 
     # 4. parallel line search over log-spaced alphas (planner.cc:618-680)
