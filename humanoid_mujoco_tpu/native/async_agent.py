@@ -2,12 +2,20 @@
 architecture (mjpc/agent.cc:318-329 + app.cc:90-93,493-496) on the
 native runtime.
 
-A C++ background thread runs the planner continuously against the
-freshest state snapshot (NativeStateStore); the control side queries
-actions at any rate from the most recently published policy
-(NativePolicyBuffer). This is the async semantics the synchronous
-mpc.mpc_rollout does not provide — planning overlaps execution, exactly
-like the real robot serving path.
+A background thread runs the planner continuously against the freshest
+state snapshot (NativeStateStore, the states/state.h shared-mutex
+analog); the control side queries actions at any rate from the most
+recently published policy (NativePolicyBuffer, the policy shared-mutex
+analog, sampling/planner.h:162).
+
+Thread-safety contract (fixing the round-1 race): the PLAN thread is the
+only owner of the shared `Agent`'s mutable fields (state, pstate, rng).
+The CONTROL side never touches them — it deserializes the published
+policy into its own local copy and calls the agent's *stateless jitted
+action closure* directly (jit dispatch is thread-safe; the closure only
+reads static config). State flows control->plan exclusively through the
+native seqlock StateStore; policy flows plan->control exclusively
+through the PolicyBuffer.
 """
 
 from __future__ import annotations
@@ -31,8 +39,11 @@ class AsyncAgent:
         s = agent.state
         self.state_store.set(np.asarray(s.qpos), np.asarray(s.qvel),
                              float(s.time))
+        # control-side policy copy (owned by the control thread only)
+        self._ctl_pstate = jax.tree.map(jax.numpy.asarray, agent.pstate)
         self._publish_policy()
 
+    # ---- plan thread side (sole owner of self.agent mutables) ----
     def _publish_policy(self):
         blob = pickle.dumps(jax.tree.map(np.asarray, self.agent.pstate))
         self.policy_buf.publish(blob)
@@ -51,20 +62,32 @@ class AsyncAgent:
     def stop(self):
         self.loop.stop()
 
+    # ---- control thread side (never mutates self.agent) ----
     def set_state(self, qpos, qvel, time: float):
         """Publish a fresh state snapshot (physics thread analog)."""
         self.state_store.set(np.asarray(qpos), np.asarray(qvel),
                              float(time))
 
     def get_action(self, qpos, qvel, time: float):
-        """Query the freshest published policy at the control rate."""
+        """Query the freshest published policy at the control rate.
+
+        Reads the policy buffer into a control-side copy and evaluates
+        the stateless jitted action closure — no shared mutable state
+        with the plan thread (ActionFromPolicy under the policy
+        shared_lock, app.cc:90-93)."""
         blob = self.policy_buf.read()
         if blob is not None:
-            pstate = pickle.loads(blob)
-            pstate = jax.tree.map(jax.numpy.asarray, pstate)
-            self.agent.pstate = pstate
-        self.agent.set_state(qpos=qpos, qvel=qvel, time=time)
-        return self.agent.get_action(time=time)
+            self._ctl_pstate = jax.tree.map(jax.numpy.asarray,
+                                            pickle.loads(blob))
+        ps = self._ctl_pstate
+        a = self.agent
+        t = jax.numpy.asarray(time, dtype=a.state.qpos.dtype)
+        if a.planner == "ilqg":
+            u = a._action(ps.policy, jax.numpy.asarray(qpos),
+                          jax.numpy.asarray(qvel), t)
+        else:
+            u = a._action(ps, t)
+        return np.asarray(u)
 
     @property
     def plan_iterations(self) -> int:

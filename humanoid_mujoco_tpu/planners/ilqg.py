@@ -173,8 +173,12 @@ def _feedback_rollout(m: Model, task: Task, s0: State, policy: ILQGPolicy,
         # carried policy positionally would replay it one cycle stale
         # (MJPC policies are time-indexed for the same reason,
         # ilqg/policy.cc:82-161). du is aligned with the NEW timeline and
-        # stays index-addressed.
-        j = jnp.clip(jnp.searchsorted(policy.times, s.time,
+        # stays index-addressed. The half-step offset makes the lookup
+        # robust to f32 ulp drift between the ACCUMULATED rollout clock
+        # (t += dt per step) and the MULTIPLIED knot times (t0 + dt*i):
+        # one ulp below a knot would otherwise replay the PREVIOUS knot's
+        # control for a whole step.
+        j = jnp.clip(jnp.searchsorted(policy.times, s.time + 0.5 * m.dt,
                                       side="right") - 1, 0, T - 1)
         dx = state_diff(m, s.qpos, s.qvel, policy.qpos_nom[j],
                         policy.qvel_nom[j])
@@ -356,32 +360,48 @@ def ilqg_plan(m: Model, task: Task, cfg: ILQGConfig, pstate: ILQGState,
     returns, qps, qvs, us = jax.vmap(ls)(alphas)
     best = jnp.argmin(returns)
     best_return = returns[best]
-    # guard: a backward pass that produced non-finite gains is a failed
-    # iteration — keep the ENTIRE old policy incl. gains and raise reg
-    # (the reference's failure/retry ladder, ilqg/planner.cc:429-534)
+    alpha = alphas[best]
+
+    # 5. acceptance + regularization, matching the reference exactly
+    # (ilqg/planner.cc:551-604 + backward_pass.cc UpdateRegularization):
+    # the winning line-search rollout ALWAYS becomes the new nominal —
+    # there is no improvement gate (the smallest step is 1e-3, so the
+    # winner can stay arbitrarily close to the nominal); rejecting
+    # near-converged iterations and escalating reg starves the gains.
+    # Only non-finite gains / all-diverged rollouts keep the old policy.
     finite = jnp.logical_and(jnp.all(jnp.isfinite(du)),
                              jnp.all(jnp.isfinite(K)))
-    improved = jnp.logical_and(best_return < nom_return, finite)
+    rolled_ok = best_return < MAX_RETURN
+    accept = jnp.logical_and(finite, rolled_ok)
     K_new = jnp.where(finite, K, old.K)
 
-    # 5. accept/reject + regularization update from improvement surprise
-    expected = -(alphas[best] * dV[0] + alphas[best] ** 2 * dV[1])
+    expected = -(alpha * dV[0] + alpha ** 2 * dV[1]) + 1e-16
+    improvement = nom_return - best_return
+    # surprise z = clamp(improvement/expected, 0, 2); reg /2 on good
+    # agreement or a large accepted step, *2 on poor agreement or a tiny
+    # step, *4 on failure — never the x10 of round 1.
+    z = jnp.clip(improvement / expected, 0.0, 2.0)
+    good = jnp.logical_or(z > 0.5, alpha > 0.3)
+    bad_step = jnp.logical_or(z < 0.1, alpha < 0.06)
+    factor = jnp.where(~accept, 4.0,
+                       jnp.where(good, 0.5,
+                                 jnp.where(bad_step, 2.0, 1.0)))
+    reg = jnp.clip(pstate.reg * factor, cfg.reg_min,
+                   cfg.reg_max).astype(dtype)
+
     new_policy = ILQGPolicy(
         times=times,
-        qpos_nom=jnp.where(improved, qps[best], qp),
-        qvel_nom=jnp.where(improved, qvs[best], qv),
-        u_nom=jnp.where(improved, us[best], u),
+        qpos_nom=jnp.where(accept, qps[best], qp),
+        qvel_nom=jnp.where(accept, qvs[best], qv),
+        u_nom=jnp.where(accept, us[best], u),
         K=K_new,
-        # fresh gains are consistent with the accepted nominal: full scale
-        k_scale=jnp.where(improved, jnp.asarray(1.0, dtype=dtype),
+        # the accepted policy carries full-scale feedback
+        # (policy.feedback_scaling = 1.0, planner.cc:604)
+        k_scale=jnp.where(accept, jnp.asarray(1.0, dtype=dtype),
                           nominal.k_scale))
-    reg = jnp.where(improved,
-                    jnp.maximum(pstate.reg * 0.5, cfg.reg_min),
-                    jnp.minimum(pstate.reg * 10.0, cfg.reg_max)
-                    ).astype(dtype)
 
-    info = ILQGInfo(best_return=jnp.minimum(best_return, nom_return),
+    info = ILQGInfo(best_return=jnp.where(accept, best_return, nom_return),
                     nominal_return=nom_return,
-                    improvement=nom_return - best_return,
-                    expected=expected, reg=reg, alpha=alphas[best])
+                    improvement=improvement,
+                    expected=expected, reg=reg, alpha=alpha)
     return ILQGState(policy=new_policy, reg=reg), info

@@ -32,23 +32,57 @@ DEFAULT_PORT = 5555                   # mpc_server.py:22
 class MPCServer:
     def __init__(self, agent: Agent, planner_iterations: int = 2,
                  position_mode: bool = False, port: int = DEFAULT_PORT,
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", async_mode: bool = False):
+        """`async_mode=True` runs the reference's plan-while-acting
+        architecture (agent.cc:318-329): a background thread iterates the
+        planner continuously against the freshest request state, and each
+        request returns immediately from the latest published policy —
+        request latency is one jitted action query, not
+        `planner_iterations` plan solves."""
         self.agent = agent
         self.planner_iterations = planner_iterations
         self.position_mode = position_mode
         self.port = port
         self.host = host
+        self.async_mode = async_mode
+        self._async = None
+        self._t0 = None
         self._sock: Optional[socket.socket] = None
         self._stop = threading.Event()
+
+    def start_async(self):
+        """Start the background plan loop (idempotent)."""
+        if self._async is None:
+            from ..native.async_agent import AsyncAgent
+            self._async = AsyncAgent(self.agent)
+            self._t0 = time.monotonic()
+            self._async.start()
+        return self._async
+
+    def stop_async(self):
+        if self._async is not None:
+            self._async.stop()
+            self._async = None
+
+    @property
+    def plan_iterations(self) -> int:
+        return self._async.plan_iterations if self._async else 0
 
     def compute_action(self, joint_pos, joint_vel, ang_vel, quat):
         """State re-estimation + plan + action (mpc_utils.py:89-106)."""
         state = set_robot_state(self.agent.model, joint_pos, joint_vel,
                                 ang_vel, quat)
-        self.agent.state = state
-        for _ in range(self.planner_iterations):
-            self.agent.planner_step()
-        action = self.agent.get_action()
+        if self.async_mode:
+            a = self.start_async()
+            t = time.monotonic() - self._t0
+            a.set_state(np.asarray(state.qpos), np.asarray(state.qvel), t)
+            action = a.get_action(np.asarray(state.qpos),
+                                  np.asarray(state.qvel), t)
+        else:
+            self.agent.state = state
+            for _ in range(self.planner_iterations):
+                self.agent.planner_step()
+            action = self.agent.get_action()
         if self.position_mode:
             # convert torque command to joint position targets
             action = (np.asarray(joint_pos)
@@ -109,6 +143,7 @@ class MPCServer:
 
     def stop(self):
         self._stop.set()
+        self.stop_async()
         if self._sock is not None:
             self._sock.close()
 
