@@ -49,12 +49,16 @@ class Agent:
     """Synchronous in-process agent (thread-safe enough for the serving
     loop; the async plan thread lives in native/runtime)."""
 
-    def __init__(self, model: Model, task: Task, planner: str = "ilqg",
+    def __init__(self, model: Model, task, planner: str = "ilqg",
                  plan_dt: float = 0.02, horizon: int = 17,
                  nsample: int = 64, seed: int = 0):
         if planner not in PLANNERS:
             raise ValueError(f"unknown planner {planner!r}; "
                              f"options: {PLANNERS}")
+        if isinstance(task, str):
+            # Init-by-task-id parity (grpc Init task_id, agent.proto:21)
+            from .tasks.registry import get_task
+            task = get_task(task)
         self.model = model
         self.plan_model = make_plan_model(model, plan_dt)
         self.task = task
@@ -116,9 +120,16 @@ class Agent:
         self._step = jax.jit(lambda s, u: step(self.model, s, u))
         self._forward = jax.jit(
             lambda s, u: forward(self.model, s, u)[3])
+        from .planners.derivatives import _light_info
+        self._transition = jax.jit(
+            lambda task, s: task.transition(self.model, s,
+                                            _light_info(self.model, s)))
 
     # ---- state ----
     def set_state(self, qpos=None, qvel=None, time=None):
+        """SetState + Task::Transition (the reference runs the task
+        transition on every state publish: agent_service.cc:158-173,
+        app.cc:280)."""
         s = self.state
         if qpos is not None:
             s = s.replace(qpos=jnp.asarray(qpos, dtype=s.qpos.dtype))
@@ -127,6 +138,8 @@ class Agent:
         if time is not None:
             s = s.replace(time=jnp.asarray(time, dtype=s.qpos.dtype))
         self.state = s
+        if self.task.transition_fn is not None:
+            self.task = self._transition(self.task, self.state)
 
     def get_state(self):
         return dict(qpos=np.asarray(self.state.qpos),
@@ -184,9 +197,12 @@ class Agent:
 
     def step(self):
         """ActionFromPolicy + advance the server-side sim (Step RPC,
-        agent_service.cc:225-245)."""
+        agent_service.cc:225-245); runs the task transition like the
+        physics loop (app.cc:280)."""
         u = self._policy_action(self.state, self.state.time)
         self.state, info = self._step(self.state, u)
+        if self.task.transition_fn is not None:
+            self.task = self._transition(self.task, self.state)
         return np.asarray(u)
 
     # ---- task configuration ----
@@ -203,6 +219,13 @@ class Agent:
     def get_cost_weights(self):
         return {t.name: float(self.task.weights[i])
                 for i, t in enumerate(self.task.terms)}
+
+    def set_mode(self, mode):
+        """SetMode verb (grpc/agent.proto GetMode/SetMode)."""
+        self.task = self.task.set_mode(mode)
+
+    def get_mode(self) -> str:
+        return self.task.mode_names[int(self.task.mode)]
 
     # ---- introspection ----
     def get_residuals(self):

@@ -56,6 +56,17 @@ class Task:
     params: jax.Array        # (nparam,) task parameters (e.g. height goal)
     risk: jax.Array          # ()
 
+    # multi-mode / transition support (Task::Transition + mode,
+    # mjpc/task.h:85,137): transition_fn(task, m, state, info) -> Task
+    # runs each control step and may move goals / switch `mode`;
+    # mode_names mirror the reference's GetMode/SetMode verb surface.
+    transition_fn: object = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    mode_names: Tuple[str, ...] = dataclasses.field(
+        default=("default",), metadata=dict(static=True))
+    mode: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0, jnp.int32))
+
     @property
     def nres(self) -> int:
         return sum(t.dim for t in self.terms)
@@ -78,10 +89,26 @@ class Task:
         return dataclasses.replace(
             self, params=self.params.at[i].set(value))
 
+    def set_mode(self, mode) -> "Task":
+        """SetMode verb (grpc/agent.proto): mode by index or name."""
+        if isinstance(mode, str):
+            mode = self.mode_names.index(mode)
+        return dataclasses.replace(
+            self, mode=jnp.asarray(mode, jnp.int32))
+
+    def transition(self, m: Model, state: State,
+                   info: StepInfo) -> "Task":
+        """Per-step task transition (Task::Transition, mjpc/task.h:85):
+        returns the task with updated goal params / mode leaves. Pure and
+        jittable — safe to call inside rollouts."""
+        if self.transition_fn is None:
+            return self
+        return self.transition_fn(self, m, state, info)
+
 
 def make_task(name: str, terms, residual_fn, weights, norm_params=None,
-              params=(), param_names=(), risk=0.0,
-              dtype=jnp.float32) -> Task:
+              params=(), param_names=(), risk=0.0, transition_fn=None,
+              mode_names=("default",), dtype=jnp.float32) -> Task:
     nterm = len(terms)
     npz = jnp.zeros((nterm, 2), dtype=dtype)
     if norm_params is not None:
@@ -92,7 +119,8 @@ def make_task(name: str, terms, residual_fn, weights, norm_params=None,
         weights=jnp.asarray(weights, dtype=dtype),
         norm_params=npz,
         params=jnp.asarray(list(params), dtype=dtype).reshape(-1),
-        risk=jnp.asarray(risk, dtype=dtype))
+        risk=jnp.asarray(risk, dtype=dtype),
+        transition_fn=transition_fn, mode_names=tuple(mode_names))
 
 
 def cost_terms(task: Task, residual: jax.Array,

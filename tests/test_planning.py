@@ -185,3 +185,84 @@ class TestMPC:
         assert res.states.shape == (2, 3, m.nq)
         assert res.costs.shape == (2, 3)
         assert bool(jnp.all(jnp.isfinite(res.costs)))
+
+
+class TestTaskRegistryAndTransition:
+    """Task registry + multi-mode Transition machinery
+    (tasks/tasks.cc:48-75, Task::Transition mjpc/task.h:85)."""
+
+    def test_registry_lists_and_builds(self):
+        from humanoid_mujoco_tpu.tasks import get_task, list_tasks
+        names = list_tasks()
+        for required in ("Humanoid Cap Stand", "Humanoid Cap Walk",
+                         "Particle", "ParticleFixed"):
+            assert required in names
+        for n in names:
+            t = get_task(n)
+            assert t.nres > 0 and t.nterm > 0
+
+    def test_particle_transition_moves_goal(self):
+        import jax.numpy as jnp
+        from humanoid_mujoco_tpu.tasks import get_task, particle_model
+        from humanoid_mujoco_tpu.physics.model import make_state
+        from humanoid_mujoco_tpu.planners.derivatives import _light_info
+        m = particle_model()
+        t = get_task("Particle")
+        s = make_state(m).replace(time=jnp.asarray(1.0))
+        t2 = t.transition(m, s, _light_info(m, s))
+        g = np.asarray(t2.params)
+        np.testing.assert_allclose(
+            g, [0.25 * np.sin(1.0), 0.25 * np.cos(1.0 / np.pi)],
+            atol=1e-6)
+        # fixed variant has no transition
+        tf = get_task("ParticleFixed")
+        assert tf.transition_fn is None
+
+    def test_walk_mode_gates_velocity_target(self):
+        import jax.numpy as jnp
+        from humanoid_mujoco_tpu.physics import humanoid
+        from humanoid_mujoco_tpu.physics.model import make_state
+        from humanoid_mujoco_tpu.planners.derivatives import _light_info
+        from humanoid_mujoco_tpu.tasks import walk_task
+        m = humanoid.build_humanoid()
+        s = make_state(m, qpos=humanoid.stand_qpos(m))
+        info = _light_info(m, s)
+        u = jnp.zeros(m.nu)
+        t = walk_task(speed=0.5)
+        r_stand = np.asarray(t.residual(m, s, info, u))
+        r_walk = np.asarray(t.set_mode("Walk").residual(m, s, info, u))
+        # at rest: stand mode sees zero velocity error, walk mode sees
+        # the commanded speed as error (residual slots 4:6)
+        np.testing.assert_allclose(r_stand[4:6], 0.0, atol=1e-5)
+        assert np.linalg.norm(r_walk[4:6]) == pytest.approx(0.5, abs=1e-4)
+        assert t.set_mode("Walk").mode_names[1] == "Walk"
+
+    def test_particle_planning_reaches_goal(self):
+        """End-to-end: sampling MPC on ParticleFixed drives the particle
+        to the goal (the reference's particle planner test,
+        test/sampling_planner/sampling_planner_test.cc)."""
+        import jax
+        import jax.numpy as jnp
+        from humanoid_mujoco_tpu.agent import Agent
+        from humanoid_mujoco_tpu.tasks import get_task, particle_model
+        m = particle_model(dt=0.02)
+        a = Agent(m, get_task("ParticleFixed"), planner="sampling",
+                  nsample=16, horizon=10, plan_dt=0.02)
+        for _ in range(60):
+            a.planner_step()
+            a.step()
+        qp = a.get_state()["qpos"]
+        assert abs(qp[0] - 0.25) < 0.08 and abs(qp[1]) < 0.08, qp
+
+    def test_agent_accepts_task_name_and_mode_verbs(self):
+        from humanoid_mujoco_tpu.agent import Agent
+        from humanoid_mujoco_tpu.tasks import particle_model
+        a = Agent(particle_model(), "Particle", planner="sampling",
+                  nsample=4, horizon=4)
+        assert a.task.name == "Particle"
+        assert a.get_mode() == "default"
+        # transition runs on set_state and moves the goal with time
+        a.set_state(time=1.0)
+        np.testing.assert_allclose(
+            np.asarray(a.task.params),
+            [0.25 * np.sin(1.0), 0.25 * np.cos(1.0 / np.pi)], atol=1e-5)
