@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--reg-type", type=int, default=0)
     ap.add_argument("--terminal-weight", type=float, default=0.0)
     ap.add_argument("--n-linesearch", type=int, default=8)
+    ap.add_argument("--warm-iters", type=int, default=0,
+                    help="planner iterations at s0 before the loop")
+    ap.add_argument("--no-settle", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("--tpu", dest="cpu", action="store_false")
@@ -73,6 +76,26 @@ def main(argv=None):
                      n_linesearch=args.n_linesearch)
 
     s0 = make_state(sim_m, qpos=humanoid.stand_qpos(m))
+    if not args.no_settle:
+        # settle the keyframe into its contact equilibrium (0.3 s servo
+        # hold at 500 Hz): the raw keyframe floats ~1 mm above the soft-
+        # contact equilibrium and the drop transient otherwise pollutes
+        # the first plan cycles
+        from humanoid_mujoco_tpu.rl.env import rl_humanoid_model
+        m_servo = rl_humanoid_model()
+        m_servo = m_servo.replace(dt=jnp.asarray(0.002, dtype=dtype))
+        q_ref = s0.qpos[7:19]
+
+        @jax.jit
+        def _settle(s):
+            def body(st, _):
+                st2, _ = step(m_servo, st, q_ref, solver_iters=12)
+                return st2, None
+            return jax.lax.scan(body, s, None, length=150)[0]
+        s0 = _settle(make_state(m_servo, qpos=s0.qpos))
+        s0 = s0.replace(time=jnp.asarray(0.0, dtype=dtype))
+        print(f"settled: z={float(s0.qpos[2]):.4f} "
+              f"|qvel|={float(jnp.max(jnp.abs(s0.qvel))):.4f}", flush=True)
     if args.perturb:
         s0 = s0.replace(qvel=s0.qvel.at[1].set(args.perturb))
     ps0 = ilqg_init(plan_m, cfg, s0)
@@ -86,6 +109,21 @@ def main(argv=None):
     replan_every = args.replan_every or max(
         1, int(round(0.02 / args.sim_dt)))
     ncycle = int(round(args.seconds / (args.sim_dt * replan_every)))
+
+    if args.warm_iters > 0:
+        @jax.jit
+        def warm(ps):
+            def it(ps, _):
+                ps, _info = ilqg_plan(plan_m, task, cfg, ps, s0,
+                                      terminal=terminal)
+                return ps, _info.best_return
+            return jax.lax.scan(it, ps, None, length=args.warm_iters)
+        t0 = time.time()
+        ps0, wrets = warm(ps0)
+        print(f"warm-start: {args.warm_iters} iters in "
+              f"{time.time() - t0:.0f}s, return "
+              f"{float(wrets[0]):.4f} -> {float(wrets[-1]):.4f}",
+              flush=True)
 
     def cycle(carry, _):
         s, ps = carry

@@ -375,7 +375,10 @@ def ilqg_plan(m: Model, task: Task, cfg: ILQGConfig, pstate: ILQGState,
     accept = jnp.logical_and(finite, rolled_ok)
     K_new = jnp.where(finite, K, old.K)
 
-    expected = -(alpha * dV[0] + alpha ** 2 * dV[1]) + 1e-16
+    # rollout returns are horizon-NORMALIZED (sum/T) while dV is summed
+    # over the horizon — expected must be divided by T or the surprise
+    # ratio z comes out ~T x too small and reg ratchets up spuriously
+    expected = (-(alpha * dV[0] + alpha ** 2 * dV[1])) / T + 1e-16
     improvement = nom_return - best_return
     # surprise z = clamp(improvement/expected, 0, 2); reg /2 on good
     # agreement or a large accepted step, *2 on poor agreement or a tiny
@@ -383,9 +386,17 @@ def ilqg_plan(m: Model, task: Task, cfg: ILQGConfig, pstate: ILQGState,
     z = jnp.clip(improvement / expected, 0.0, 2.0)
     good = jnp.logical_or(z > 0.5, alpha > 0.3)
     bad_step = jnp.logical_or(z < 0.1, alpha < 0.06)
+    # converged decay: when the predicted improvement is negligible
+    # relative to the return, the z<0.1 branch would ratchet reg to
+    # reg_max and REGULARIZE THE GAINS AWAY (K -> 0 under control reg)
+    # exactly when the policy is good — the closed loop then loses its
+    # feedback until the state degrades. A converged quadratic model is
+    # trustworthy: decay reg so K approaches the unregularized LQR gain.
+    converged = expected < 1e-4 * (1.0 + jnp.abs(nom_return))
     factor = jnp.where(~accept, 4.0,
-                       jnp.where(good, 0.5,
-                                 jnp.where(bad_step, 2.0, 1.0)))
+                       jnp.where(converged, 0.5,
+                                 jnp.where(good, 0.5,
+                                           jnp.where(bad_step, 2.0, 1.0))))
     reg = jnp.clip(pstate.reg * factor, cfg.reg_min,
                    cfg.reg_max).astype(dtype)
 

@@ -29,7 +29,7 @@ class SACConfig:
                                         metadata=dict(static=True))
     hidden: tuple = dataclasses.field(default=(128, 128, 128),
                                       metadata=dict(static=True))
-    steps_per_update: int = dataclasses.field(default=1,
+    steps_per_update: int = dataclasses.field(default=32,
                                               metadata=dict(static=True))
     gamma: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(0.99))
@@ -81,6 +81,12 @@ class SACState:
     obs: jax.Array
     rng: jax.Array
     step_count: jax.Array
+    # windowed episode counters: success_rate = d(trunc)/d(done) over
+    # the train step, not a per-step binary artifact
+    ep_done: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0.0))
+    ep_trunc: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0.0))
 
 
 def sac_init(cfg: SACConfig, env_cfg: EnvConfig, base_model: Model,
@@ -114,14 +120,19 @@ def sac_init(cfg: SACConfig, env_cfg: EnvConfig, base_model: Model,
 
 def sac_train_step(cfg: SACConfig, env_cfg: EnvConfig, base_model: Model,
                    nets, state: SACState) -> Tuple[SACState, dict]:
-    """steps_per_update env steps (all envs) + one gradient update."""
+    """steps_per_update rounds of (one env step for all envs + one
+    gradient update) in ONE jit region — SB3's train_freq=1 /
+    gradient_steps=1 cadence with the per-call dispatch amortized
+    (the TPU-tunnel dispatch latency dominates at 1 round/call)."""
     policy, qnet, tx = nets
-    p = state.params
 
-    def env_roll(carry, key):
-        es, obs, buf = carry
+    def round_(carry, key):
+        p, opts, buf, es, obs, dc, tc = carry
+        k_act, k_samp, k_crit, k_pi, = jax.random.split(key, 4)
+
+        # --- one env step for all envs ---
         mean, log_std = policy.apply(p["pi"], obs)
-        a, _ = sample_squashed(mean, log_std, key)
+        a, _ = sample_squashed(mean, log_std, k_act)
         es, obs2, r, term, trunc = batch_step(env_cfg, es, a)
         es, obs2_reset, done = jax.vmap(
             lambda e, o, rr, t, tr: env_auto_reset(
@@ -131,66 +142,73 @@ def sac_train_step(cfg: SACConfig, env_cfg: EnvConfig, base_model: Model,
         # (incl. the standup success condition) must still bootstrap the
         # Q target (SB3 handle_timeout_termination semantics).
         buf = buf.add_batch(obs, a, r, obs2, term.astype(obs.dtype))
-        return (es, obs2_reset, buf), (r, term, trunc)
+        dc = dc + done.astype(r.dtype).sum()
+        tc = tc + trunc.astype(r.dtype).sum()
 
-    keys = jax.random.split(state.rng, cfg.steps_per_update + 4)
-    (es, obs, buf), (rews, terms, truncs) = jax.lax.scan(
-        env_roll, (state.env_state, state.obs, state.buffer),
-        keys[:cfg.steps_per_update])
+        # --- one gradient update ---
+        ob, ab, rb, nob, db = buf.sample(k_samp, cfg.batch_size)
+        alpha = jnp.exp(p["log_alpha"])
 
-    ob, ab, rb, nob, db = buf.sample(keys[-1], cfg.batch_size)
-    alpha = jnp.exp(p["log_alpha"])
+        mean2, ls2 = policy.apply(p["pi"], nob)
+        a2, logp2 = sample_squashed(mean2, ls2, k_crit)
+        q1t, q2t = qnet.apply(p["q_target"], nob, a2)
+        target = rb + cfg.gamma * (1 - db) * (
+            jnp.minimum(q1t, q2t) - alpha * logp2)
 
-    # --- critic ---
-    mean2, ls2 = policy.apply(p["pi"], nob)
-    a2, logp2 = sample_squashed(mean2, ls2, keys[-2])
-    q1t, q2t = qnet.apply(p["q_target"], nob, a2)
-    target = rb + cfg.gamma * (1 - db) * (
-        jnp.minimum(q1t, q2t) - alpha * logp2)
+        def q_loss(qp):
+            q1, q2 = qnet.apply(qp, ob, ab)
+            return (jnp.mean((q1 - target) ** 2)
+                    + jnp.mean((q2 - target) ** 2))
 
-    def q_loss(qp):
-        q1, q2 = qnet.apply(qp, ob, ab)
-        return jnp.mean((q1 - target) ** 2) + jnp.mean((q2 - target) ** 2)
+        ql, gq = jax.value_and_grad(q_loss)(p["q"])
+        uq, oq = tx.update(gq, opts["q"], p["q"])
+        q_new = optax.apply_updates(p["q"], uq)
 
-    ql, gq = jax.value_and_grad(q_loss)(p["q"])
-    uq, oq = tx.update(gq, state.opt_states["q"], p["q"])
-    q_new = optax.apply_updates(p["q"], uq)
+        def pi_loss(pip):
+            mean, ls = policy.apply(pip, ob)
+            aa, logp = sample_squashed(mean, ls, k_pi)
+            q1, q2 = qnet.apply(q_new, ob, aa)
+            return jnp.mean(alpha * logp - jnp.minimum(q1, q2)), logp
 
-    # --- actor ---
-    def pi_loss(pip):
-        mean, ls = policy.apply(pip, ob)
-        a, logp = sample_squashed(mean, ls, keys[-3])
-        q1, q2 = qnet.apply(q_new, ob, a)
-        return jnp.mean(alpha * logp - jnp.minimum(q1, q2)), logp
+        (pl, logp), gp = jax.value_and_grad(pi_loss, has_aux=True)(p["pi"])
+        up, op = tx.update(gp, opts["pi"], p["pi"])
+        pi_new = optax.apply_updates(p["pi"], up)
 
-    (pl, logp), gp = jax.value_and_grad(pi_loss, has_aux=True)(p["pi"])
-    up, op = tx.update(gp, state.opt_states["pi"], p["pi"])
-    pi_new = optax.apply_updates(p["pi"], up)
+        def alpha_loss(la):
+            return -jnp.mean(jnp.exp(la) * (jax.lax.stop_gradient(logp)
+                                            + cfg.target_entropy))
 
-    # --- temperature (SB3 ent_coef="auto") ---
-    def alpha_loss(la):
-        return -jnp.mean(jnp.exp(la) * (jax.lax.stop_gradient(logp)
-                                        + cfg.target_entropy))
+        al, ga = jax.value_and_grad(alpha_loss)(p["log_alpha"])
+        ua, oa = tx.update(ga, opts["alpha"], p["log_alpha"])
+        la_new = optax.apply_updates(p["log_alpha"], ua)
 
-    al, ga = jax.value_and_grad(alpha_loss)(p["log_alpha"])
-    ua, oa = tx.update(ga, state.opt_states["alpha"], p["log_alpha"])
-    la_new = optax.apply_updates(p["log_alpha"], ua)
+        qt_new = jax.tree.map(
+            lambda t, s: t * (1 - cfg.tau) + s * cfg.tau,
+            p["q_target"], q_new)
 
-    # --- target polyak ---
-    qt_new = jax.tree.map(lambda t, s: t * (1 - cfg.tau) + s * cfg.tau,
-                          p["q_target"], q_new)
+        p_new = dict(pi=pi_new, q=q_new, q_target=qt_new,
+                     log_alpha=la_new)
+        opts_new = dict(pi=op, q=oq, alpha=oa)
+        return (p_new, opts_new, buf, es, obs2_reset, dc, tc), \
+            (r.mean(), ql, pl, alpha)
+
+    keys = jax.random.split(state.rng, cfg.steps_per_update + 1)
+    carry0 = (state.params, state.opt_states, state.buffer,
+              state.env_state, state.obs, state.ep_done, state.ep_trunc)
+    (p, opts, buf, es, obs, dc, tc), (rews, qls, pls, alphas) = \
+        jax.lax.scan(round_, carry0, keys[:-1])
 
     new_state = SACState(
-        params=dict(pi=pi_new, q=q_new, q_target=qt_new,
-                    log_alpha=la_new),
-        opt_states=dict(pi=op, q=oq, alpha=oa),
-        buffer=buf, env_state=es, obs=obs, rng=keys[-4],
-        step_count=state.step_count + cfg.steps_per_update * cfg.n_envs)
-    # episode-level success: completed episodes ending by truncation
-    # (standup success / walk survival), not per-step dilution.
-    dones = jnp.logical_or(terms, truncs).astype(rews.dtype)
-    n_done = jnp.maximum(dones.sum(), 1.0)
-    metrics = dict(q_loss=ql, pi_loss=pl, alpha=alpha,
-                   mean_reward=rews.mean(),
-                   success_rate=truncs.astype(rews.dtype).sum() / n_done)
+        params=p, opt_states=opts, buffer=buf, env_state=es, obs=obs,
+        rng=keys[-1],
+        step_count=state.step_count + cfg.steps_per_update * cfg.n_envs,
+        ep_done=dc, ep_trunc=tc)
+    # windowed episode-level success over THIS call: completed episodes
+    # that ended by truncation (standup success / walk survival)
+    d_done = dc - state.ep_done
+    d_trunc = tc - state.ep_trunc
+    metrics = dict(q_loss=qls.mean(), pi_loss=pls.mean(),
+                   alpha=alphas[-1], mean_reward=rews.mean(),
+                   episodes_done=d_done,
+                   success_rate=d_trunc / jnp.maximum(d_done, 1.0))
     return new_state, metrics

@@ -231,13 +231,25 @@ class TestILQGPendulum:
         for _ in range(8):
             ps, _ = plan(ps, s0)
         pol = ps.policy
-        # K must produce a corrective action for a perturbed state
-        # (perturb toward smaller ctrl: swing-up u_nom starts saturated
-        # at +10, so test the unsaturated correction direction)
-        u_nom = ilqg_action(m, pol, pol.qpos_nom[0], pol.qvel_nom[0],
-                            pol.times[0])
-        u_pert = ilqg_action(m, pol, pol.qpos_nom[0] + 0.2,
-                             pol.qvel_nom[0] + 0.5, pol.times[0])
+        u = np.asarray(pol.u_nom).ravel()
+        K = np.asarray(pol.K).reshape(len(u), -1)
+        # boxQP semantics (backward_pass.cc:158-196): gains are ZEROED on
+        # knots where the control is clamped at its limit...
+        saturated = np.abs(u) >= 10.0 - 1e-6
+        assert saturated[:3].all()  # swing-up starts saturated
+        np.testing.assert_allclose(K[saturated], 0.0, atol=1e-9)
+        # ...and a perturbed state must produce a corrective action on the
+        # unsaturated segment (feedback active on free dimensions). Gains
+        # correspond to the PREVIOUS nominal's clamp pattern (one-iteration
+        # lag, same as the reference), so probe the strongest free knot.
+        free = np.nonzero(~saturated)[0]
+        assert free.size > 0
+        assert np.abs(K[free]).sum() > 1.0
+        i = int(free[np.argmax(np.abs(K[free]).sum(axis=1))])
+        u_nom = ilqg_action(m, pol, pol.qpos_nom[i], pol.qvel_nom[i],
+                            pol.times[i])
+        u_pert = ilqg_action(m, pol, pol.qpos_nom[i] + 0.2,
+                             pol.qvel_nom[i] + 0.5, pol.times[i])
         assert not np.allclose(np.array(u_nom), np.array(u_pert),
                                atol=1e-6)
 
