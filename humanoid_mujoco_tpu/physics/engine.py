@@ -299,10 +299,27 @@ def passive_force(m: Model, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
     qfrc = -m.dof_damping * qvel
     for j in range(s.njnt):
         t = s.jnt_type[j]
+        qadr, vadr = s.jnt_qadr[j], s.jnt_vadr[j]
         if t in (JointType.HINGE, JointType.SLIDE):
-            qadr, vadr = s.jnt_qadr[j], s.jnt_vadr[j]
             qfrc = qfrc.at[vadr].add(
-                -m.jnt_stiffness[j] * (qpos[qadr] - m.jnt_springref[j]))
+                -m.jnt_stiffness[j] * (qpos[qadr] - m.qpos_spring[qadr]))
+        elif t == JointType.FREE:
+            # Reference semantics (engine_passive.c free-joint spring):
+            # world-frame translational spring to qpos_spring[0:3] plus a
+            # rotational spring -k * subQuat(q, q_ref) on the local-frame
+            # angular dofs. The humanoid XML's joint defaults put
+            # stiffness 1.0 on the free root (world.xml:21) — the weak
+            # stand-pose tether the round-1 build was missing.
+            k = m.jnt_stiffness[j]
+            qfrc = qfrc.at[vadr:vadr + 3].add(
+                -k * (qpos[qadr:qadr + 3] - m.qpos_spring[qadr:qadr + 3]))
+            dif = pm.quat_sub(qpos[qadr + 3:qadr + 7],
+                              m.qpos_spring[qadr + 3:qadr + 7])
+            qfrc = qfrc.at[vadr + 3:vadr + 6].add(-k * dif)
+        elif t == JointType.BALL:
+            dif = pm.quat_sub(qpos[qadr:qadr + 4],
+                              m.qpos_spring[qadr:qadr + 4])
+            qfrc = qfrc.at[vadr:vadr + 3].add(-m.jnt_stiffness[j] * dif)
     return qfrc
 
 

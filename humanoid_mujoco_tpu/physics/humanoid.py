@@ -88,7 +88,13 @@ def build_humanoid(dt: float = 0.002, dtype=jnp.float32,
 
     root = b.add_body("humanoid_world_link", -1, pos=STAND_POS,
                       quat=STAND_QUAT, mass=0.0)
-    b.add_joint("humanoid_free", root, JointType.FREE)
+    # The XML <default> joint class applies to the free root too
+    # (world.xml:21 + humanoid.xml:17 `<joint type="free"/>`): damping
+    # 0.2 and armature 0.01 on all 6 root dofs, and a stiffness-1.0
+    # spring tethering the root to its qpos0 pose (= the stand pose).
+    b.add_joint("humanoid_free", root, JointType.FREE,
+                damping=_JOINT["damping"], armature=_JOINT["armature"],
+                stiffness=_JOINT["stiffness"])
 
     torso = b.add_body(
         "torso", root, pos=(0.1675, -0.005, 0.135),

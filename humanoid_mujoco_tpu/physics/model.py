@@ -145,6 +145,13 @@ class Model:
     jnt_stiffness: jax.Array  # (njnt,)
     jnt_springref: jax.Array  # (njnt,)
     jnt_margin: jax.Array     # (njnt,)
+    # spring reference configuration (mjModel.qpos_spring analog): for
+    # hinge/slide joints this repeats jnt_springref at the joint's qpos
+    # address; for free/ball joints it is the reference pose the
+    # stiffness spring pulls toward (MuJoCo defaults it to qpos0 — for
+    # the humanoid that is the XML stand pose, giving the reference's
+    # weak root tether; see engine.passive_force).
+    qpos_spring: jax.Array    # (nq,)
 
     # dofs
     dof_damping: jax.Array    # (nv,)
@@ -357,6 +364,24 @@ class ModelBuilder:
             dof_damping[v0:v0 + _jnt_nv(jd["jtype"])] = jd["damping"]
             dof_armature[v0:v0 + _jnt_nv(jd["jtype"])] = jd["armature"]
 
+        # qpos_spring: hinge/slide -> springref; free -> the carrying
+        # body's frame pose in its parent (MuJoCo qpos0 semantics — free
+        # joints are world-children so this is the world pose); ball ->
+        # identity quat.
+        qpos_spring = np.zeros(nq)
+        for j, jd in enumerate(self._joints):
+            q0 = jnt_qadr[j]
+            t = jd["jtype"]
+            if t == JointType.FREE:
+                b = jd["body"]
+                qpos_spring[q0:q0 + 3] = np.asarray(
+                    self._bodies[b]["pos"], dtype=np.float64)
+                qpos_spring[q0 + 3:q0 + 7] = _normq(self._bodies[b]["quat"])
+            elif t == JointType.BALL:
+                qpos_spring[q0] = 1.0
+            else:
+                qpos_spring[q0] = jd["springref"]
+
         return Model(
             struct=struct,
             body_pos=arr([b["pos"] for b in self._bodies], (nbody, 3)),
@@ -380,6 +405,7 @@ class ModelBuilder:
                               (njnt,)),
             jnt_margin=arr([j["margin"] for j in self._joints],
                            (njnt,)),
+            qpos_spring=arr(qpos_spring, (nq,)),
             dof_damping=arr(dof_damping, (nv,)),
             dof_armature=arr(dof_armature, (nv,)),
             act_gear=arr([a["gear"] for a in self._acts], (nu,)),
