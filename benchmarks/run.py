@@ -37,9 +37,30 @@ def timed(fn, *args, reps=3):
     return best
 
 
+def flops_of(jitted, *args):
+    """Compiled-module FLOP count from XLA cost analysis (0 if the
+    backend doesn't report it)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+# peak f32 FLOPs/s per chip for MFU estimates (TPU v5e MXU peak is
+# 197 TFLOP/s bf16, ~98.5 TFLOP/s f32; physics here is f32)
+PEAK_F32 = {"tpu": 98.5e12, "cpu": 2e11, "gpu": 3e13}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--scaling", action="store_true",
+                    help="also emit the batch-scaling curve")
+    ap.add_argument("--out", default=None,
+                    help="also write results JSON to this path")
     args = ap.parse_args()
 
     from humanoid_mujoco_tpu.physics import humanoid
@@ -67,13 +88,18 @@ def main():
                         value=round(1.0 / t, 1), unit="solves/s",
                         latency_ms=round(t * 1e3, 2)))
 
-    # --- config 2: 512 lockstep rollouts / chip ---
+    # --- config 2: 512 lockstep rollouts / chip (+ MFU estimate) ---
     cfg2 = SamplingConfig(nsample=512, nknots=3, horizon=17)
     f2 = jax.jit(lambda p, s, k: sampling_plan(pm, task, cfg2, p, s, k))
     t = timed(lambda: f2(pol, s0, jax.random.PRNGKey(0))[1].best_return)
+    fl = flops_of(f2, pol, s0, jax.random.PRNGKey(0))
+    peak = PEAK_F32.get(jax.default_backend(), 1e12)
     results.append(dict(config="sampling_512_rollouts",
                         value=round(1.0 / t, 2), unit="solves/s",
-                        rollout_steps_per_s=round(512 * 17 / t)))
+                        rollout_steps_per_s=round(512 * 17 / t),
+                        flops_per_solve=fl,
+                        hw_flops_per_s=round(fl / t) if fl else None,
+                        mfu=round(fl / t / peak, 5) if fl else None))
 
     # --- config 3: MPPI 4k rollouts ---
     n3 = 512 if args.quick else 4096
@@ -121,8 +147,42 @@ def main():
                         rollout_steps_per_s=round(n5 * 17 / t),
                         devices=ndev))
 
+    # --- batch-scaling curve: rollout throughput vs batch size ---
+    if args.scaling:
+        from humanoid_mujoco_tpu.planners.policy import (
+            init_policy as _ip)
+        batches = ([64, 256, 1024] if args.quick
+                   else [64, 256, 1024, 4096, 8192])
+        horizon = 100
+        for batch in batches:
+            key = jax.random.PRNGKey(0)
+            qb = jnp.tile(s0.qpos, (batch, 1)).at[:, 7:].add(
+                0.03 * jax.random.normal(key, (batch, 12)))
+            sb = jax.tree.map(
+                lambda x: jnp.tile(x, (batch,) + (1,) * x.ndim), s0)
+            sb = sb.replace(qpos=qb)
+            vb = jnp.tile(pol.values, (batch, 1, 1))
+
+            fsc = jax.jit(lambda sb, vb: jax.vmap(
+                lambda s, v: rollout_spline(
+                    m, task, s, pol.times, v, SplineOrder.ZERO,
+                    horizon).total_return)(sb, vb))
+            t = timed(fsc, sb, vb)
+            results.append(dict(
+                config=f"scaling_batch_{batch}",
+                value=round(batch * horizon / t), unit="rollout_steps/s",
+                batch=batch, horizon=horizon))
+
     for r in results:
         print(json.dumps(r))
+    if args.out:
+        import datetime
+        payload = dict(backend=jax.default_backend(),
+                       devices=[str(d) for d in jax.devices()],
+                       utc=datetime.datetime.utcnow().isoformat(),
+                       results=results)
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

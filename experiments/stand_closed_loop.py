@@ -49,6 +49,13 @@ def main(argv=None):
     ap.add_argument("--tpu", dest="cpu", action="store_false")
     ap.add_argument("--perturb", type=float, default=0.0,
                     help="initial lateral qvel perturbation")
+    ap.add_argument("--plan-solver-iters", type=int, default=4,
+                    help="contact Newton iterations in plan rollouts")
+    ap.add_argument("--sim-solver-iters", type=int, default=8)
+    ap.add_argument("--python-loop", action="store_true",
+                    help="jit one plan+act cycle and loop in Python "
+                         "(much smaller XLA module than the fully "
+                         "fused ncycle-scan; same numerics)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -73,7 +80,8 @@ def main(argv=None):
     task = stand_task(dtype=dtype)
     cfg = ILQGConfig(horizon=args.horizon, limits=not args.no_limits,
                      reg_type=args.reg_type,
-                     n_linesearch=args.n_linesearch)
+                     n_linesearch=args.n_linesearch,
+                     solver_iters=args.plan_solver_iters)
 
     s0 = make_state(sim_m, qpos=humanoid.stand_qpos(m))
     if not args.no_settle:
@@ -138,7 +146,8 @@ def main(argv=None):
 
         def sim_step(s, _):
             u = ilqg_action(sim_m, ps.policy, s.qpos, s.qvel, s.time)
-            s2, si = step(sim_m, s, u)
+            s2, si = step(sim_m, s, u,
+                          solver_iters=args.sim_solver_iters)
             res = task.residual(sim_m, s, _light_info(sim_m, s), u)
             c = cost_value(task, res)
             return s2, (c, s.qpos[2], jnp.max(jnp.abs(u)))
@@ -154,9 +163,23 @@ def main(argv=None):
           f"terminal_w={args.terminal_weight} ncycle={ncycle}",
           flush=True)
     t0 = time.time()
-    run = jax.jit(lambda s, ps: jax.lax.scan(
-        cycle, (s, ps), None, length=ncycle))
-    (s_end, ps_end), (costs, zs, umax, rets, regs) = run(s0, ps0)
+    if args.python_loop:
+        cycle_j = jax.jit(lambda c: cycle(c, None))
+        carry = (s0, ps0)
+        outs = []
+        for ci in range(ncycle):
+            carry, out = cycle_j(carry)
+            outs.append(jax.tree.map(np.asarray, out))
+            if ci == 0:
+                print(f"first cycle (compile) {time.time() - t0:.0f}s",
+                      flush=True)
+        (s_end, ps_end) = carry
+        costs, zs, umax, rets, regs = (
+            np.stack([o[i] for o in outs]) for i in range(5))
+    else:
+        run = jax.jit(lambda s, ps: jax.lax.scan(
+            cycle, (s, ps), None, length=ncycle))
+        (s_end, ps_end), (costs, zs, umax, rets, regs) = run(s0, ps0)
     costs = np.asarray(costs)
     print(f"compiled+ran in {time.time() - t0:.0f}s", flush=True)
 

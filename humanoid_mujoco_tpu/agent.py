@@ -22,6 +22,9 @@ API parity map (agent.proto -> here):
   GetResiduals       -> get_residuals()
   GetCostValuesAndWeights -> get_cost_term_values()
   GetBestTrajectory  -> best_trajectory()
+  SetMode/GetMode    -> set_mode(mode) / get_mode()
+  SetMocap (binding set_mocap) -> set_mocap(name, pos, quat)
+  SetAnything        -> set_anything(model=..., state=..., task=...)
 """
 
 from __future__ import annotations
@@ -60,6 +63,7 @@ class Agent:
             from .tasks.registry import get_task
             task = get_task(task)
         self.model = model
+        self.plan_dt = plan_dt
         self.plan_model = make_plan_model(model, plan_dt)
         self.task = task
         self.planner = planner
@@ -172,9 +176,13 @@ class Agent:
         self._last_info = info
         return float(info.best_return)
 
-    def get_action(self, time=None, averaging_duration: float = 0.0):
+    def get_action(self, time=None, averaging_duration: float = 0.0,
+                   nominal_action: bool = False):
         """Query the policy (GetAction; averaging per
-        grpc_agent_util.cc:166-197: mean action over a short rollout)."""
+        grpc_agent_util.cc:166-197: mean action over a short rollout;
+        `nominal_action=True` skips the feedback term like the proto's
+        nominal_action flag — for iLQG that zeroes the K·dx correction,
+        grpc_agent_util.cc GetAction nominal path)."""
         t = self.state.time if time is None else jnp.asarray(
             time, dtype=self.state.qpos.dtype)
         if averaging_duration > 0:
@@ -183,16 +191,21 @@ class Agent:
             s = self.state
             acts = []
             for _ in range(n):
-                u = self._policy_action(s, t)
+                u = self._policy_action(s, t, nominal_action)
                 acts.append(u)
                 s, _ = self._step(s, u)
                 t = s.time
             return np.mean(np.stack(acts), axis=0)
-        return np.asarray(self._policy_action(self.state, t))
+        return np.asarray(self._policy_action(self.state, t,
+                                              nominal_action))
 
-    def _policy_action(self, s: State, t):
+    def _policy_action(self, s: State, t, nominal: bool = False):
         if self.planner == "ilqg":
-            return self._action(self.pstate.policy, s.qpos, s.qvel, t)
+            pol = self.pstate.policy
+            if nominal:
+                pol = pol.replace(
+                    k_scale=jnp.zeros_like(pol.k_scale))
+            return self._action(pol, s.qpos, s.qvel, t)
         return self._action(self.pstate, t)
 
     def step(self):
@@ -226,6 +239,53 @@ class Agent:
 
     def get_mode(self) -> str:
         return self.task.mode_names[int(self.task.mode)]
+
+    def set_mocap(self, name: str, pos=None, quat=None):
+        """set_mocap verb (python/mujoco_mpc/agent.py:360-378): move a
+        named goal body. Free — mocap poses are traced task leaves."""
+        self.task = self.task.set_mocap(name, pos=pos, quat=quat)
+
+    def get_mocap(self):
+        return {n: dict(pos=np.asarray(self.task.mocap_pos[i]),
+                        quat=np.asarray(self.task.mocap_quat[i]))
+                for i, n in enumerate(self.task.mocap_names)}
+
+    def set_anything(self, model: Optional[Dict] = None,
+                     state: Optional[Dict] = None,
+                     task: Optional[Dict] = None):
+        """SetAnything verb (grpc/agent.proto:59): set arbitrary model /
+        state / task fields by name.
+
+        Task and state edits are free (traced leaves). Model edits
+        (gravity, dt, body_mass, ...) rebuild the jitted closures — one
+        recompile, matching the reference's full re-Init on model
+        changes — while preserving sim state, planner state and RNG.
+        """
+        if task:
+            for k, v in task.items():
+                if k in self.task.param_names:
+                    self.set_task_parameter(k, v)
+                elif k in [t.name for t in self.task.terms]:
+                    self.set_cost_weights({k: v})
+                elif k == "mode":
+                    self.set_mode(v)
+                elif k == "risk":
+                    import dataclasses as _dc
+                    self.task = _dc.replace(self.task, risk=jnp.asarray(
+                        v, dtype=self.task.risk.dtype))
+                else:
+                    raise KeyError(f"unknown task field {k!r}")
+        if state:
+            self.set_state(**state)
+        if model:
+            updates = {}
+            for k, v in model.items():
+                ref = getattr(self.model, k)   # KeyError -> AttributeError
+                updates[k] = jnp.asarray(
+                    v, dtype=ref.dtype).reshape(jnp.shape(ref))
+            self.model = self.model.replace(**updates)
+            self.plan_model = make_plan_model(self.model, self.plan_dt)
+            self._build_jit()   # closures bake the model: must rebuild
 
     # ---- introspection ----
     def get_residuals(self):

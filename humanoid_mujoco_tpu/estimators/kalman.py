@@ -16,7 +16,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import linalg
 from ..physics.model import Model, State
 from ..physics.step import step
 from ..physics.tangent import state_add
@@ -33,7 +32,9 @@ class EKFConfig:
         default_factory=lambda: jnp.asarray(1e-3))
     init_cov: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(1e-4))
-    solver_iters: int = dataclasses.field(default=4,
+    # match the sim path's contact iterations (physics/step.py default 8)
+    # so the predict model agrees with the simulated plant
+    solver_iters: int = dataclasses.field(default=8,
                                           metadata=dict(static=True))
 
 
@@ -69,21 +70,35 @@ def ekf_update(m: Model, cfg: EKFConfig, sensor: SensorModel,
         jnp.full((nv,), cfg.process_noise_pos, dtype=dtype),
         jnp.full((nv,), cfg.process_noise_vel, dtype=dtype)]))
     P = A @ ekf.cov @ A.T + Q
+    # the contact Jacobian is stiff (||A|| ~ 1e3 at a grazing contact
+    # with solref 0.015 @ 2 ms), so A P A^T carries f32 rounding on the
+    # order of 1e-2: symmetrize here and jitter S below or the Cholesky
+    # sees an indefinite matrix and the filter NaNs (f32 TPU path; the
+    # reference runs f64 where this never surfaces)
+    P = 0.5 * (P + P.T)
 
     # ---- update ----
     H = measurement_jacobian(m, s_pred.qpos, s_pred.qvel)
     y_pred = measure(m, s_pred.qpos, s_pred.qvel)
     innov = y - y_pred
     R = jnp.diag(sensor.noise ** 2)
+    ny = y.shape[0]
     S = H @ P @ H.T + R
-    # K = P H^T S^-1 via Cholesky (kalman.cc:212,232 mju_cholFactor/Solve)
-    Ls = linalg.chol_factor(S)
-    K = linalg.chol_solve(Ls, H @ P).T          # (2nv, ny)
+    # In f32 the S assembly at ||P|| ~ 1e2-1e3 carries rounding ~1e-2,
+    # enough to leave S slightly indefinite — a Cholesky (the
+    # kalman.cc:212,232 mju_cholFactor/Solve route, valid in the
+    # reference's f64) emits NaN. LU solve + relative jitter is robust
+    # at the same cost for ny=30.
+    S = 0.5 * (S + S.T) + (
+        1e-5 * jnp.trace(S) / ny + 1e-9) * jnp.eye(ny, dtype=dtype)
+    K = jnp.linalg.solve(S, H @ P).T            # (2nv, ny)
     dx = K @ innov
     qpos = state_add(m, s_pred.qpos, dx[:nv])
     qvel = s_pred.qvel + dx[nv:]
     n2 = 2 * nv
-    P_new = (jnp.eye(n2, dtype=dtype) - K @ H) @ P
+    # Joseph form keeps P_new PSD under f32 rounding
+    IKH = jnp.eye(n2, dtype=dtype) - K @ H
+    P_new = IKH @ P @ IKH.T + K @ R @ K.T
     P_new = 0.5 * (P_new + P_new.T)
 
     new = EKFState(state=State(qpos=qpos, qvel=qvel, time=s_pred.time),

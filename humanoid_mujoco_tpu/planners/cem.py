@@ -31,7 +31,7 @@ class CEMConfig:
     horizon: int = dataclasses.field(default=17, metadata=dict(static=True))
     order: int = dataclasses.field(default=SplineOrder.ZERO,
                                    metadata=dict(static=True))
-    solver_iters: int = dataclasses.field(default=6,
+    solver_iters: int = dataclasses.field(default=8,
                                           metadata=dict(static=True))
     n_elite: int = dataclasses.field(default=6, metadata=dict(static=True))
     std_initial: jax.Array = dataclasses.field(

@@ -86,7 +86,7 @@ def residual_tangent(m: Model, task: Task, qpos: jax.Array, qvel: jax.Array,
 def step_tangent_jacobians(m: Model, qpos: jax.Array, qvel: jax.Array,
                            ctrl: jax.Array, t: jax.Array,
                            next_qpos: jax.Array, next_qvel: jax.Array,
-                           solver_iters: int = 4, ift: bool = True
+                           solver_iters: int = 8, ift: bool = True
                            ) -> Tuple[jax.Array, jax.Array]:
     """A = d x'/dx, B = d x'/du in tangent coordinates, via jacfwd
     through the full step (the mjd_transitionFD replacement).
@@ -148,7 +148,7 @@ def gauss_newton_cost(task: Task, r: jax.Array, C: jax.Array, D: jax.Array
 
 def trajectory_derivatives(m: Model, task: Task, qpos_nom: jax.Array,
                            qvel_nom: jax.Array, ctrl_nom: jax.Array,
-                           times: jax.Array, solver_iters: int = 4,
+                           times: jax.Array, solver_iters: int = 8,
                            skip: int = 0, ift: bool = True) -> Derivatives:
     """Batched linearization along the nominal: vmap over the horizon.
 

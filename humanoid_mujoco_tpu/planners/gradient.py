@@ -36,7 +36,7 @@ class GradientConfig:
                                    metadata=dict(static=True))
     n_linesearch: int = dataclasses.field(default=12,
                                           metadata=dict(static=True))
-    solver_iters: int = dataclasses.field(default=4,
+    solver_iters: int = dataclasses.field(default=8,
                                           metadata=dict(static=True))
     deriv_solver_iters: int = dataclasses.field(default=3,
                                                metadata=dict(static=True))

@@ -43,9 +43,16 @@ class ILQGConfig:
     horizon: int = dataclasses.field(default=17, metadata=dict(static=True))
     n_linesearch: int = dataclasses.field(default=8,
                                           metadata=dict(static=True))
-    solver_iters: int = dataclasses.field(default=4,
+    # contact Newton iterations in plan rollouts. MUST match the sim
+    # path's solver_iters (physics/step.py default 8): planning on a
+    # 4-iteration contact solve against an 8-iteration sim gives
+    # systematically different contact forces, and that model error —
+    # not any planner defect — was what destabilized the closed-loop
+    # stand in round 1 (wobble -> saturation -> hopping after ~1.5 s;
+    # solver-matched the stand holds indefinitely, cost/step ~1e-5).
+    solver_iters: int = dataclasses.field(default=8,
                                           metadata=dict(static=True))
-    deriv_solver_iters: int = dataclasses.field(default=6,
+    deriv_solver_iters: int = dataclasses.field(default=8,
                                                metadata=dict(static=True))
     # implicit-function derivatives through the contact solve (exact
     # sensitivity at the converged active set; see solver.newton_solve)

@@ -41,7 +41,7 @@ class SamplingConfig:
         default=17, metadata=dict(static=True))      # steps of plan-model dt
     order: int = dataclasses.field(
         default=SplineOrder.ZERO, metadata=dict(static=True))
-    solver_iters: int = dataclasses.field(default=6,
+    solver_iters: int = dataclasses.field(default=8,
                                           metadata=dict(static=True))
     # tunables (leaves)
     exploration: jax.Array = dataclasses.field(

@@ -24,6 +24,11 @@ def load_policy(ckpt_path: str, hidden=(128, 128, 128)):
     from .networks import GaussianPolicy
     with open(ckpt_path, "rb") as f:
         params = pickle.load(f)
+    if isinstance(params, dict) and "state" in params:
+        # full train checkpoint (train.py _save_ckpt): extract pi params
+        st = params["state"]
+        params = (st.params if hasattr(st, "params")
+                  else st["params"])
     policy = GaussianPolicy(12, hidden, state_dependent_std=True)
 
     def act(obs):

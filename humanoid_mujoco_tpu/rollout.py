@@ -39,7 +39,7 @@ class RolloutResult:
 def rollout_spline(m: Model, task: Task, s0: State, times: jax.Array,
                    values: jax.Array, order: int, horizon: int,
                    xfrc_seq: Optional[jax.Array] = None,
-                   solver_iters: int = 6) -> RolloutResult:
+                   solver_iters: int = 8) -> RolloutResult:
     """Roll a spline policy for `horizon` steps of m.dt.
 
     times: (K,), values: (K, nu); xfrc_seq: optional (horizon, nbody, 6)
@@ -71,7 +71,7 @@ def rollout_spline(m: Model, task: Task, s0: State, times: jax.Array,
 
 
 def rollout_actions(m: Model, task: Task, s0: State, actions: jax.Array,
-                    solver_iters: int = 6) -> RolloutResult:
+                    solver_iters: int = 8) -> RolloutResult:
     """Roll an explicit action sequence (T, nu) — RolloutDiscrete analog
     (mjpc/trajectory.cc:213), used by iLQG line-search rollouts."""
     lo = m.act_ctrlrange[:, 0]

@@ -1,5 +1,6 @@
-from .state_estimation import find_ideal_root_height, set_robot_state
+from .filtering import FilterService, ServingFilter
 from .server import MPCServer, serve
+from .state_estimation import find_ideal_root_height, set_robot_state
 
 __all__ = ["find_ideal_root_height", "set_robot_state", "MPCServer",
-           "serve"]
+           "serve", "ServingFilter", "FilterService"]

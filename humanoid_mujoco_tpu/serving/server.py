@@ -32,19 +32,30 @@ DEFAULT_PORT = 5555                   # mpc_server.py:22
 class MPCServer:
     def __init__(self, agent: Agent, planner_iterations: int = 2,
                  position_mode: bool = False, port: int = DEFAULT_PORT,
-                 host: str = "127.0.0.1", async_mode: bool = False):
+                 host: str = "127.0.0.1", async_mode: bool = False,
+                 filter: str = "none"):
         """`async_mode=True` runs the reference's plan-while-acting
         architecture (agent.cc:318-329): a background thread iterates the
         planner continuously against the freshest request state, and each
         request returns immediately from the latest published policy —
         request latency is one jitted action query, not
-        `planner_iterations` plan solves."""
+        `planner_iterations` plan solves.
+
+        `filter="ekf"` runs the estimator in the loop (the reference's
+        estimator thread, app.cc:151-205): requests fold into a
+        persistent EKF so root linear velocity and height are tracked
+        across requests instead of re-guessed per request."""
         self.agent = agent
         self.planner_iterations = planner_iterations
         self.position_mode = position_mode
         self.port = port
         self.host = host
         self.async_mode = async_mode
+        if filter not in ("none", "ekf"):
+            raise ValueError(f"unknown filter {filter!r}")
+        self.filter_mode = filter
+        self._filter = None
+        self._last_action = None
         self._async = None
         self._t0 = None
         self._sock: Optional[socket.socket] = None
@@ -70,8 +81,15 @@ class MPCServer:
 
     def compute_action(self, joint_pos, joint_vel, ang_vel, quat):
         """State re-estimation + plan + action (mpc_utils.py:89-106)."""
-        state = set_robot_state(self.agent.model, joint_pos, joint_vel,
-                                ang_vel, quat)
+        if self.filter_mode == "ekf":
+            if self._filter is None:
+                from .filtering import ServingFilter
+                self._filter = ServingFilter(self.agent.model)
+            state = self._filter.update(joint_pos, joint_vel, ang_vel,
+                                        quat, last_ctrl=self._last_action)
+        else:
+            state = set_robot_state(self.agent.model, joint_pos,
+                                    joint_vel, ang_vel, quat)
         if self.async_mode:
             a = self.start_async()
             t = time.monotonic() - self._t0
@@ -83,6 +101,7 @@ class MPCServer:
             for _ in range(self.planner_iterations):
                 self.agent.planner_step()
             action = self.agent.get_action()
+        self._last_action = np.asarray(action)   # EKF predict ctrl
         if self.position_mode:
             # convert torque command to joint position targets
             action = (np.asarray(joint_pos)

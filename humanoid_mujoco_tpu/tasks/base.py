@@ -67,6 +67,17 @@ class Task:
     mode: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(0, jnp.int32))
 
+    # mocap bodies (the reference's d->mocap_pos/quat goal bodies +
+    # the set_mocap verb, python/mujoco_mpc/agent.py:360-378): named
+    # goal poses that residual/transition fns read. Pytree leaves, so
+    # updating them is retrace-free like weights/params.
+    mocap_names: Tuple[str, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
+    mocap_pos: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 3)))
+    mocap_quat: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 4)))
+
     @property
     def nres(self) -> int:
         return sum(t.dim for t in self.terms)
@@ -89,6 +100,19 @@ class Task:
         return dataclasses.replace(
             self, params=self.params.at[i].set(value))
 
+    def set_mocap(self, name: str, pos=None, quat=None) -> "Task":
+        """SetMocap verb (python/mujoco_mpc/agent.py set_mocap)."""
+        i = self.mocap_names.index(name)
+        t = self
+        if pos is not None:
+            p = jnp.asarray(pos, dtype=t.mocap_pos.dtype)
+            t = dataclasses.replace(t, mocap_pos=t.mocap_pos.at[i].set(p))
+        if quat is not None:
+            q = jnp.asarray(quat, dtype=t.mocap_quat.dtype)
+            t = dataclasses.replace(
+                t, mocap_quat=t.mocap_quat.at[i].set(q))
+        return t
+
     def set_mode(self, mode) -> "Task":
         """SetMode verb (grpc/agent.proto): mode by index or name."""
         if isinstance(mode, str):
@@ -108,11 +132,24 @@ class Task:
 
 def make_task(name: str, terms, residual_fn, weights, norm_params=None,
               params=(), param_names=(), risk=0.0, transition_fn=None,
-              mode_names=("default",), dtype=jnp.float32) -> Task:
+              mode_names=("default",), mocap=None,
+              dtype=jnp.float32) -> Task:
     nterm = len(terms)
     npz = jnp.zeros((nterm, 2), dtype=dtype)
     if norm_params is not None:
         npz = jnp.asarray(norm_params, dtype=dtype).reshape(nterm, 2)
+    # mocap: {name: (pos3,) or (pos3, quat4)} goal bodies
+    mocap = mocap or {}
+    mnames = tuple(mocap.keys())
+    mpos = jnp.zeros((len(mnames), 3), dtype=dtype)
+    mquat = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype=dtype),
+                     (len(mnames), 1))
+    for i, k in enumerate(mnames):
+        v = mocap[k]
+        pos = v[0] if isinstance(v, tuple) and len(v) == 2 else v
+        mpos = mpos.at[i].set(jnp.asarray(pos, dtype=dtype))
+        if isinstance(v, tuple) and len(v) == 2:
+            mquat = mquat.at[i].set(jnp.asarray(v[1], dtype=dtype))
     return Task(
         name=name, terms=tuple(terms), residual_fn=residual_fn,
         param_names=tuple(param_names),
@@ -120,7 +157,8 @@ def make_task(name: str, terms, residual_fn, weights, norm_params=None,
         norm_params=npz,
         params=jnp.asarray(list(params), dtype=dtype).reshape(-1),
         risk=jnp.asarray(risk, dtype=dtype),
-        transition_fn=transition_fn, mode_names=tuple(mode_names))
+        transition_fn=transition_fn, mode_names=tuple(mode_names),
+        mocap_names=mnames, mocap_pos=mpos, mocap_quat=mquat)
 
 
 def cost_terms(task: Task, residual: jax.Array,

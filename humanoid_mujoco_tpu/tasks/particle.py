@@ -48,19 +48,22 @@ def particle_model(dt: float = 0.01, dtype=jnp.float32) -> Model:
 def _particle_residual(m: Model, task: Task, state: State, info: StepInfo,
                        ctrl: jax.Array) -> jax.Array:
     """[position - goal (2); velocity (2); ctrl (2)]
-    (particle.cc ResidualImpl)."""
-    goal = task.params[:2]
+    (particle.cc ResidualImpl). The goal lives in the task's "goal"
+    mocap body, like the reference (particle.cc reads
+    data->mocap_pos)."""
+    goal = task.mocap_pos[0, :2]
     return jnp.concatenate([state.qpos[:2] - goal, state.qvel[:2], ctrl])
 
 
 def _lissajous_transition(task: Task, m: Model, state: State,
                           info: StepInfo) -> Task:
-    """Goal rides the Lissajous curve (particle.cc:58-66)."""
+    """Goal mocap body rides the Lissajous curve (particle.cc:58-66
+    writes data->mocap_pos)."""
     t = state.time
-    goal = jnp.stack([0.25 * jnp.sin(t),
-                      0.25 * jnp.cos(t / jnp.pi)]).astype(
-                          task.params.dtype)
-    return dataclasses.replace(task, params=goal)
+    goal = jnp.stack([0.25 * jnp.sin(t), 0.25 * jnp.cos(t / jnp.pi),
+                      jnp.zeros_like(t)]).astype(task.mocap_pos.dtype)
+    return dataclasses.replace(task,
+                               mocap_pos=task.mocap_pos.at[0].set(goal))
 
 
 _TERMS = (
@@ -74,12 +77,13 @@ _WEIGHTS = (10.0, 0.1, 0.1)
 def particle_task(dtype=jnp.float32) -> Task:
     """Moving-goal variant (registered as "Particle")."""
     return make_task("Particle", _TERMS, _particle_residual, _WEIGHTS,
-                     params=(0.0, 0.0), param_names=("Goal X", "Goal Y"),
+                     mocap={"goal": (0.0, 0.0, 0.0)},
                      transition_fn=_lissajous_transition, dtype=dtype)
 
 
 def particle_fixed_task(goal=(0.25, 0.0), dtype=jnp.float32) -> Task:
-    """Static-goal variant (registered as "ParticleFixed")."""
+    """Static-goal variant (registered as "ParticleFixed"); move the
+    goal with task.set_mocap("goal", pos) / Agent.set_mocap."""
     return make_task("ParticleFixed", _TERMS, _particle_residual,
-                     _WEIGHTS, params=tuple(goal),
-                     param_names=("Goal X", "Goal Y"), dtype=dtype)
+                     _WEIGHTS, mocap={"goal": (*goal, 0.0)},
+                     dtype=dtype)

@@ -13,10 +13,25 @@ from typing import Callable, Dict, List
 from .base import Task
 
 _REGISTRY: Dict[str, Callable[..., Task]] = {}
+_MODELS: Dict[str, Callable] = {}
 
 
-def register(name: str, factory: Callable[..., Task]):
+def register(name: str, factory: Callable[..., Task],
+             model_factory: Callable = None):
+    """Register a task factory (+ its robot-model factory — the
+    reference pairs each task with a task.xml model)."""
     _REGISTRY[name] = factory
+    if model_factory is not None:
+        _MODELS[name] = model_factory
+
+
+def task_model(name: str, **kwargs):
+    """Build the model a registered task plans on (Init-by-task_id,
+    grpc/agent.proto:21 semantics: one id selects task + model)."""
+    if name not in _MODELS:
+        raise KeyError(
+            f"no model factory for task {name!r}; have: {sorted(_MODELS)}")
+    return _MODELS[name](**kwargs)
 
 
 def list_tasks() -> List[str]:
@@ -30,13 +45,14 @@ def get_task(name: str, **kwargs) -> Task:
 
 
 def _register_builtin():
-    from .particle import particle_fixed_task, particle_task
+    from ..physics.humanoid import build_humanoid
+    from .particle import particle_fixed_task, particle_model, particle_task
     from .stand import stand_task
     from .walk import walk_task
-    register("Humanoid Cap Stand", stand_task)
-    register("Humanoid Cap Walk", walk_task)
-    register("Particle", particle_task)
-    register("ParticleFixed", particle_fixed_task)
+    register("Humanoid Cap Stand", stand_task, build_humanoid)
+    register("Humanoid Cap Walk", walk_task, build_humanoid)
+    register("Particle", particle_task, particle_model)
+    register("ParticleFixed", particle_fixed_task, particle_model)
 
 
 _register_builtin()

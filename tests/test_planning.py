@@ -210,7 +210,7 @@ class TestTaskRegistryAndTransition:
         t = get_task("Particle")
         s = make_state(m).replace(time=jnp.asarray(1.0))
         t2 = t.transition(m, s, _light_info(m, s))
-        g = np.asarray(t2.params)
+        g = np.asarray(t2.mocap_pos[0, :2])   # goal = mocap body
         np.testing.assert_allclose(
             g, [0.25 * np.sin(1.0), 0.25 * np.cos(1.0 / np.pi)],
             atol=1e-6)
@@ -264,5 +264,9 @@ class TestTaskRegistryAndTransition:
         # transition runs on set_state and moves the goal with time
         a.set_state(time=1.0)
         np.testing.assert_allclose(
-            np.asarray(a.task.params),
+            np.asarray(a.task.mocap_pos[0, :2]),
             [0.25 * np.sin(1.0), 0.25 * np.cos(1.0 / np.pi)], atol=1e-5)
+        # mocap verb surface
+        a.set_mocap("goal", pos=[0.1, -0.2, 0.0])
+        np.testing.assert_allclose(a.get_mocap()["goal"]["pos"],
+                                   [0.1, -0.2, 0.0], atol=1e-6)
