@@ -20,3 +20,23 @@ Reference behavior citations point into mcgill-robotics/Humanoid-MuJoCo
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache. The tunneled TPU backend compiles
+# 5-10x slower than local XLA (docs/NOTES.md), and every CLI entry point
+# (bench, train, serving, experiments) re-jits the same physics modules;
+# caching compiled executables across processes removes that cost.
+# Opt out with HMT_NO_COMPILE_CACHE=1; relocate with HMT_COMPILE_CACHE.
+if _os.environ.get("HMT_NO_COMPILE_CACHE") != "1":
+    import jax as _jax
+
+    _cache = _os.environ.get(
+        "HMT_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "hmt_xla"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:  # older jax without the knob: run uncached
+        pass

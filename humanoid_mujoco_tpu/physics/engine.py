@@ -65,7 +65,10 @@ def fwd_position(m: Model, qpos: jax.Array) -> Kin:
     for b in range(s.nbody):
         p = s.body_parent[b]
         if p < 0:
-            pos, quat = zero3, pm.quat_id(dtype)
+            # world-child: the body's fixed frame offset IS its world
+            # pose (a free joint below overrides it from qpos)
+            pos = m.body_pos[b].astype(dtype)
+            quat = m.body_quat[b].astype(dtype)
         else:
             pos = xpos[p] + pm.quat_rotate(xquat[p], m.body_pos[b])
             quat = pm.quat_mul(xquat[p], m.body_quat[b])

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 
 import jax
@@ -43,7 +44,13 @@ def run(seconds: float = 5.0, control_hz: float = 100.0,
     # sim substeps per control period at the model's own dt
     sub = max(1, int(round(1.0 / control_hz / float(m.dt))))
 
-    @jax.jit
+    # The sim here is the ROBOT PROXY: on a deployment it is physical
+    # hardware, so its stepping must not ride the accelerator dispatch
+    # tunnel. Pin it (and the control-side state) to the host CPU; only
+    # the plan thread touches the TPU.
+    cpu = jax.devices("cpu")[0]
+
+    @functools.partial(jax.jit, device=cpu)
     def advance(s, u):
         def body(s, _):
             s2, _ = step(m, s, u)
@@ -52,6 +59,10 @@ def run(seconds: float = 5.0, control_hz: float = 100.0,
         res = task.residual(m, s, _light_info(m, s),
                             jnp.asarray(u, dtype=s.qpos.dtype))
         return s, cost_value(task, res)
+
+    # control-side state lives on the CPU (committed) so no per-step
+    # transfers ride the tunnel
+    s = jax.device_put(s, cpu)
 
     # warm the jits before starting the clock
     u0 = np.zeros(m.nu)

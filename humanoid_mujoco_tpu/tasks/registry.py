@@ -46,13 +46,19 @@ def get_task(name: str, **kwargs) -> Task:
 
 def _register_builtin():
     from ..physics.humanoid import build_humanoid
+    from .acrobot import acrobot_model, acrobot_task
+    from .cartpole import cartpole_model, cartpole_task
     from .particle import particle_fixed_task, particle_model, particle_task
     from .stand import stand_task
     from .walk import walk_task
+    from .walker2d import walker_model, walker_task
+    register("Acrobot", acrobot_task, acrobot_model)
+    register("Cartpole", cartpole_task, cartpole_model)
     register("Humanoid Cap Stand", stand_task, build_humanoid)
     register("Humanoid Cap Walk", walk_task, build_humanoid)
     register("Particle", particle_task, particle_model)
     register("ParticleFixed", particle_fixed_task, particle_model)
+    register("Walker", walker_task, walker_model)
 
 
 _register_builtin()
