@@ -28,12 +28,14 @@ def init_distributed(coordinator: Optional[str] = None,
     coordinator = coordinator or os.environ.get("HMT_COORDINATOR")
     if coordinator is None:
         return  # single-process
+    if num_processes is None:
+        num_processes = int(os.environ.get("HMT_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("HMT_PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes or int(
-            os.environ.get("HMT_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("HMT_PROCESS_ID",
-                                                    "0")))
+        num_processes=num_processes,
+        process_id=process_id)
 
 
 def shard_env_batch(mesh: Mesh, tree):
