@@ -278,6 +278,8 @@ def actuation(m: Model, qpos: jax.Array, qvel: jax.Array, ctrl: jax.Array
     c = jnp.clip(ctrl, m.act_ctrlrange[:, 0], m.act_ctrlrange[:, 1])
     forces = []
     for a in range(s.nu):
+        if s.act_type[a] == ActuatorType.SITE_THRUST:
+            continue  # handled kinematically by thrust_qfrc
         j = s.act_jnt[a]
         qadr, vadr = s.jnt_qadr[j], s.jnt_vadr[j]
         if s.act_type[a] == ActuatorType.MOTOR:
@@ -286,9 +288,39 @@ def actuation(m: Model, qpos: jax.Array, qvel: jax.Array, ctrl: jax.Array
             force = m.act_kp[a] * (c[a] - qpos[qadr]) - m.act_kv[a] * qvel[vadr]
         force = jnp.clip(force, m.act_forcerange[a, 0], m.act_forcerange[a, 1])
         forces.append((vadr, m.act_gear[a] * force))
+    if not forces:
+        return qfrc
     idx = jnp.array([v for v, _ in forces], dtype=jnp.int32)
     vals = jnp.stack([f for _, f in forces])
     return qfrc.at[idx].add(vals)
+
+
+def thrust_qfrc(m: Model, kin: Kin, ctrl: jax.Array) -> jax.Array:
+    """SITE_THRUST actuators -> qfrc (nv,): each actuator applies the
+    wrench ctrl*gear6 (site/body frame) at its site's world point —
+    MuJoCo's site transmission (the quadrotor's rotor motors,
+    mjpc/tasks/quadrotor quadrotor_modified.xml actuator block).
+
+    Converted to a per-body COM wrench in world frame and routed through
+    the same xfrc path as external pushes."""
+    from .model import ActuatorType
+    s = m.struct
+    dtype = kin.cdof.dtype
+    xfrc = jnp.zeros((s.nbody, 6), dtype=dtype)
+    c = jnp.clip(ctrl, m.act_ctrlrange[:, 0], m.act_ctrlrange[:, 1])
+    for a in range(s.nu):
+        if s.act_type[a] != ActuatorType.SITE_THRUST:
+            continue
+        site = s.act_site[a]
+        b = s.site_body[site]
+        u = jnp.clip(c[a], m.act_forcerange[a, 0], m.act_forcerange[a, 1])
+        R = kin.xmat[b]
+        f_w = R @ (m.act_gear6[a, :3] * u)     # world force at site point
+        t_w = R @ (m.act_gear6[a, 3:] * u)     # world torque
+        # wrench about the body COM (xfrc_to_qfrc convention)
+        t_com = t_w + jnp.cross(kin.site_xpos[site] - kin.xipos[b], f_w)
+        xfrc = xfrc.at[b, :3].add(f_w).at[b, 3:].add(t_com)
+    return xfrc_to_qfrc(m, kin, xfrc)
 
 
 def passive_force(m: Model, qpos: jax.Array, qvel: jax.Array) -> jax.Array:

@@ -44,8 +44,11 @@ class JointType:
 
 
 class ActuatorType:
-    MOTOR = 0      # force = clip(ctrl); qfrc = gear * clip(force, forcerange)
-    POSITION = 1   # force = kp*(ctrl - q) - kv*qvel; qfrc = gear * clip(force)
+    MOTOR = 0        # force = clip(ctrl); qfrc = gear * clip(force, forcerange)
+    POSITION = 1     # force = kp*(ctrl - q) - kv*qvel; qfrc = gear * clip(force)
+    SITE_THRUST = 2  # site transmission: wrench u * gear6 in the site's body
+    #                  frame applied at the site point (MuJoCo <motor site=...
+    #                  gear="fx fy fz tx ty tz">, e.g. quadrotor rotors)
 
 
 def _jnt_nq(t: int) -> int:
@@ -92,6 +95,7 @@ class Structure:
     pair_b: Tuple[int, ...]
     act_type: Tuple[int, ...]             # (nu,)
     act_jnt: Tuple[int, ...]              # (nu,) target joint (scalar joints)
+    act_site: Tuple[int, ...]             # (nu,) site per SITE_THRUST act, -1 else
     body_names: Tuple[str, ...]
     jnt_names: Tuple[str, ...]
     site_names: Tuple[str, ...]
@@ -159,6 +163,7 @@ class Model:
 
     # actuators
     act_gear: jax.Array       # (nu,)
+    act_gear6: jax.Array      # (nu, 6) site-frame wrench map (SITE_THRUST)
     act_kp: jax.Array         # (nu,)
     act_kv: jax.Array         # (nu,)
     act_ctrlrange: jax.Array  # (nu, 2)
@@ -273,6 +278,18 @@ class ModelBuilder:
                                forcerange=forcerange))
         return len(self._acts) - 1
 
+    def add_thrust(self, site: int, gear=(0.0, 0.0, 1.0, 0.0, 0.0, 0.0),
+                   ctrlrange=(0.0, 1.0), forcerange=(-1e9, 1e9)) -> int:
+        """Site-transmission actuator (MuJoCo <motor site=... gear="fx fy
+        fz tx ty tz">): applies ctrl * gear6 as a wrench in the site's
+        body frame at the site point (quadrotor rotors,
+        mjpc/tasks/quadrotor task.xml actuator block)."""
+        self._acts.append(dict(joint=-1, atype=ActuatorType.SITE_THRUST,
+                               gear=1.0, kp=0.0, kv=0.0,
+                               ctrlrange=ctrlrange, forcerange=forcerange,
+                               site=site, gear6=tuple(gear)))
+        return len(self._acts) - 1
+
     def add_sphere(self, body: int, pos=(0, 0, 0), radius: float = 0.02,
                    friction: float = 1.0, friction_tor: float = 0.005,
                    friction_roll: float = 0.0001) -> int:
@@ -343,6 +360,7 @@ class ModelBuilder:
             pair_b=tuple(p[1] for p in self._pairs),
             act_type=tuple(a["atype"] for a in self._acts),
             act_jnt=tuple(a["joint"] for a in self._acts),
+            act_site=tuple(a.get("site", -1) for a in self._acts),
             body_names=tuple(b["name"] for b in self._bodies),
             jnt_names=tuple(j["name"] for j in self._joints),
             site_names=tuple(s["name"] for s in self._sites),
@@ -409,6 +427,8 @@ class ModelBuilder:
             dof_damping=arr(dof_damping, (nv,)),
             dof_armature=arr(dof_armature, (nv,)),
             act_gear=arr([a["gear"] for a in self._acts], (nu,)),
+            act_gear6=arr([a.get("gear6", (0.0,) * 6) for a in self._acts],
+                          (nu, 6)),
             act_kp=arr([a["kp"] for a in self._acts], (nu,)),
             act_kv=arr([a["kv"] for a in self._acts], (nu,)),
             act_ctrlrange=arr([a["ctrlrange"] for a in self._acts],

@@ -28,7 +28,7 @@ from ..ops import linalg
 from . import math as pm
 from .collision import collide
 from .engine import (actuation, crb_mass_matrix, fwd_position, fwd_velocity,
-                     passive_force, rnea_bias, xfrc_to_qfrc)
+                     passive_force, rnea_bias, thrust_qfrc, xfrc_to_qfrc)
 from .model import JointType, Model, State
 from .solver import make_efc, newton_solve
 
@@ -87,6 +87,9 @@ def forward(m: Model, state: State, ctrl: jax.Array,
     tau = actuation(m, qpos, qvel, ctrl)
     qfrc_passive = passive_force(m, qpos, qvel)
     qfrc_smooth = tau + qfrc_passive - bias
+    from .model import ActuatorType
+    if any(t == ActuatorType.SITE_THRUST for t in s.act_type):
+        qfrc_smooth = qfrc_smooth + thrust_qfrc(m, kin, ctrl)
     if xfrc is not None:
         qfrc_smooth = qfrc_smooth + xfrc_to_qfrc(m, kin, xfrc)
 
@@ -109,12 +112,12 @@ def forward(m: Model, state: State, ctrl: jax.Array,
     # actuator joint torques (after gear) for torque-penalty rewards
     # (simulation/reward_functions.py joint-torque terms)
     if s.nu:
-        from .model import ActuatorType
         c = jnp.clip(ctrl, m.act_ctrlrange[:, 0], m.act_ctrlrange[:, 1])
         af = []
         for a in range(s.nu):
             j = s.act_jnt[a]
-            if s.act_type[a] == ActuatorType.MOTOR:
+            if s.act_type[a] in (ActuatorType.MOTOR,
+                                 ActuatorType.SITE_THRUST):
                 force = c[a]
             else:
                 force = (m.act_kp[a] * (c[a] - qpos[s.jnt_qadr[j]])

@@ -49,6 +49,7 @@ def _register_builtin():
     from .acrobot import acrobot_model, acrobot_task
     from .cartpole import cartpole_model, cartpole_task
     from .particle import particle_fixed_task, particle_model, particle_task
+    from .quadrotor import quadrotor_model, quadrotor_task
     from .stand import stand_task
     from .walk import walk_task
     from .walker2d import walker_model, walker_task
@@ -58,6 +59,7 @@ def _register_builtin():
     register("Humanoid Cap Walk", walk_task, build_humanoid)
     register("Particle", particle_task, particle_model)
     register("ParticleFixed", particle_fixed_task, particle_model)
+    register("Quadrotor", quadrotor_task, quadrotor_model)
     register("Walker", walker_task, walker_model)
 
 

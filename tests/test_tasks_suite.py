@@ -34,7 +34,7 @@ class TestRegistry:
         names = registry.list_tasks()
         for want in ("Acrobot", "Cartpole", "Humanoid Cap Stand",
                      "Humanoid Cap Walk", "Particle", "ParticleFixed",
-                     "Walker"):
+                     "Quadrotor", "Walker"):
             assert want in names
 
     @pytest.mark.parametrize("name", ["Acrobot", "Cartpole", "Walker"])
