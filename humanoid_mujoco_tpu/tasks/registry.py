@@ -50,6 +50,7 @@ def _register_builtin():
     from .cartpole import cartpole_model, cartpole_task
     from .particle import particle_fixed_task, particle_model, particle_task
     from .quadrotor import quadrotor_model, quadrotor_task
+    from .quadruped import quadruped_model, quadruped_task
     from .stand import stand_task
     from .walk import walk_task
     from .walker2d import walker_model, walker_task
@@ -60,6 +61,7 @@ def _register_builtin():
     register("Particle", particle_task, particle_model)
     register("ParticleFixed", particle_fixed_task, particle_model)
     register("Quadrotor", quadrotor_task, quadrotor_model)
+    register("Quadruped Flat", quadruped_task, quadruped_model)
     register("Walker", walker_task, walker_model)
 
 
