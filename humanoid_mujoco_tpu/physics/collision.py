@@ -135,6 +135,27 @@ def collide(m: Model, xpos: jax.Array, xmat: jax.Array) -> Contacts:
                     friction_tor=tor, friction_roll=roll)
 
 
+def select_contacts(contacts: Contacts, k: int
+                    ) -> tuple[Contacts, jax.Array]:
+    """Keep the k most-penetrating contact slots (smallest signed gap).
+
+    Static-shape analog of mj_makeConstraint's dynamic contact count: the
+    solve is exact whenever at most k slots are active, because dropped
+    slots have the largest gaps and produce zero force. Returns the
+    reduced Contacts plus `sel` (k,) int32 — original slot indices, for
+    gathering per-slot static tables and scattering forces back.
+    """
+    _, sel = jax.lax.top_k(-contacts.dist, k)
+
+    def g(x):
+        return x[sel]
+
+    return Contacts(pos=g(contacts.pos), normal=g(contacts.normal),
+                    dist=g(contacts.dist), friction=g(contacts.friction),
+                    friction_tor=g(contacts.friction_tor),
+                    friction_roll=g(contacts.friction_roll)), sel
+
+
 def tangent_frame(normal: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Two unit tangents orthogonal to each normal, branch-free.
 

@@ -78,13 +78,18 @@ def _euler_to_quat_xyz(a, b, c):
 
 def build_humanoid(dt: float = 0.002, dtype=jnp.float32,
                    hfield_shape=(8, 8), with_floor: bool = True,
-                   self_collision: bool = True) -> Model:
+                   self_collision: bool = True,
+                   max_contacts: int = 32) -> Model:
     b = ModelBuilder(dt=dt, gravity=(0.0, 0.0, -9.81))
     b.floor_z = FLOOR_Z
     b.floor_friction = FLOOR_FRICTION
     b.has_floor = with_floor
     b.hfield_shape = hfield_shape
     b.hfield_halfsize = (10.0, 10.0)
+    # top-32-penetration contact slots enter the solve (of 67 total);
+    # the humanoid's worst case (lying flat, RL standup start) touches
+    # ~20 — selection is exact there while halving constraint rows
+    b.max_contacts = max_contacts
 
     root = b.add_body("humanoid_world_link", -1, pos=STAND_POS,
                       quat=STAND_QUAT, mass=0.0)

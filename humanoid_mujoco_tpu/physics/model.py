@@ -101,11 +101,18 @@ class Structure:
     site_names: Tuple[str, ...]
     site_body: Tuple[int, ...]
     has_floor: bool
+    # Static cap on contact slots entering the Newton solve: the top-k
+    # most-penetrating slots are selected per step (collision.select_contacts)
+    # and only their pyramid rows are assembled. 0 = all slots. Exact
+    # whenever <= k slots are active; k is sized per robot so that bound
+    # holds in practice (mj_makeConstraint's dynamic row count analog with
+    # a static shape). Cuts constraint-row count ~2x on the humanoid.
+    max_contacts: int = 0
 
     def __hash__(self):
         return hash((self.nq, self.nv, self.nu, self.nbody, self.njnt,
                      self.nsph, self.npair, self.body_parent, self.jnt_type,
-                     self.dof_mask_bytes))
+                     self.dof_mask_bytes, self.max_contacts))
 
     @property
     def dof_mask(self) -> np.ndarray:
@@ -241,6 +248,7 @@ class ModelBuilder:
         self.floor_friction_tor = 0.005
         self.floor_friction_roll = 0.0001
         self.has_floor = True
+        self.max_contacts = 0
         self.hfield_shape = (2, 2)
         self.hfield_halfsize = (10.0, 10.0)
         self.solref = (0.015, 1.0)      # world.xml:19 geom solref ".015 1"
@@ -366,6 +374,7 @@ class ModelBuilder:
             site_names=tuple(s["name"] for s in self._sites),
             site_body=tuple(s["body"] for s in self._sites),
             has_floor=self.has_floor,
+            max_contacts=self.max_contacts,
         )
 
         def arr(vals, shape=None):

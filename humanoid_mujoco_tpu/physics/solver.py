@@ -71,8 +71,15 @@ def _kb(solref: jax.Array, solimp: jax.Array, d: jax.Array, dt=None):
 
 
 def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
-             contacts: Contacts, Mchol: jax.Array) -> Efc:
-    """Build constraint rows: joint limits then contact pyramid edges."""
+             contacts: Contacts, Mchol: jax.Array,
+             sel: jax.Array | None = None) -> Efc:
+    """Build constraint rows: joint limits then contact pyramid edges.
+
+    `contacts` may be the full fixed-capacity set or a top-k reduced set
+    from collision.select_contacts; in the latter case `sel` carries the
+    original slot indices so the static per-slot body tables are gathered
+    to match.
+    """
     s = m.struct
     dtype = qpos.dtype
     nv = s.nv
@@ -105,7 +112,8 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
         # translational Jacobian of the contact point for both bodies
         # J_point col i = cdof_lin_i + cdof_ang_i x (p - anchor), masked to
         # the chain of the sphere's body (floor slots: world side is fixed)
-        body_dof = jnp.asarray(s.body_dof, dtype=dtype)   # (nbody, nv)
+        import numpy as np
+        body_dof = s.body_dof                             # (nbody, nv) uint8
         pair_bodies_a = [  # body on the "a" side per slot (-1 = world)
             *([-1] * s.nsph),
             *[s.sph_body[i] for i in s.pair_a],
@@ -114,12 +122,16 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
             *[s.sph_body[i] for i in range(s.nsph)],
             *[s.sph_body[i] for i in s.pair_b],
         ]
-        mask_a = jnp.stack([
-            body_dof[b] if b >= 0 else jnp.zeros(nv, dtype=dtype)
-            for b in pair_bodies_a])                      # (ncon, nv)
-        mask_b = jnp.stack([
-            body_dof[b] if b >= 0 else jnp.zeros(nv, dtype=dtype)
-            for b in pair_bodies_b])
+        zero_row = np.zeros(nv, dtype=np.float64)
+        tab_a = np.stack([body_dof[b] if b >= 0 else zero_row
+                          for b in pair_bodies_a])        # (ncon_full, nv)
+        tab_b = np.stack([body_dof[b] if b >= 0 else zero_row
+                          for b in pair_bodies_b])
+        mask_a = jnp.asarray(tab_a, dtype=dtype)
+        mask_b = jnp.asarray(tab_b, dtype=dtype)
+        if sel is not None:
+            mask_a = mask_a[sel]                          # (ncon, nv)
+            mask_b = mask_b[sel]
         rel = contacts.pos - kin.anchor                   # (ncon, 3)
         # lin velocity jacobian of the point for every dof: (ncon, nv, 3)
         jac_pt = (kin.cdof[None, :, 3:]

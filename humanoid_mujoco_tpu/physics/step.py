@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops import linalg
 from . import math as pm
-from .collision import collide
+from .collision import collide, select_contacts
 from .engine import (actuation, crb_mass_matrix, fwd_position, fwd_velocity,
                      passive_force, rnea_bias, thrust_qfrc, xfrc_to_qfrc)
 from .model import JointType, Model, State
@@ -94,20 +94,30 @@ def forward(m: Model, state: State, ctrl: jax.Array,
         qfrc_smooth = qfrc_smooth + xfrc_to_qfrc(m, kin, xfrc)
 
     Mchol = linalg.chol_factor(M)
-    contacts = collide(m, kin.xpos, kin.xmat)
-    efc = make_efc(m, kin, qpos, qvel, contacts, Mchol)
+    contacts_full = collide(m, kin.xpos, kin.xmat)
+    K = s.max_contacts
+    if 0 < K < m.ncon:
+        contacts, sel = select_contacts(contacts_full, K)
+    else:
+        contacts, sel = contacts_full, None
+    efc = make_efc(m, kin, qpos, qvel, contacts, Mchol, sel=sel)
     qacc, efc_f, qfrc_constraint = newton_solve(
         M, Mchol, qfrc_smooth, efc, niter=solver_iters, ift=ift)
     qfrc_total = qfrc_smooth + qfrc_constraint
 
     # contact normal forces: sum the 10 pyramid-edge forces per slot
-    # (every condim-6 edge has unit normal coefficient)
+    # (every condim-6 edge has unit normal coefficient), scattered back to
+    # the full fixed slot layout when top-k selection is active
     nlim = _num_limit_rows(m)
-    ncon = m.ncon
+    ncon = contacts.dist.shape[0]
     if ncon and efc_f.shape[0] >= nlim + 10 * ncon:
-        cf = efc_f[nlim:nlim + 10 * ncon].reshape(ncon, 10).sum(axis=-1)
+        cf_sel = efc_f[nlim:nlim + 10 * ncon].reshape(ncon, 10).sum(axis=-1)
+        if sel is not None:
+            cf = jnp.zeros((m.ncon,), dtype=dtype).at[sel].set(cf_sel)
+        else:
+            cf = cf_sel
     else:
-        cf = jnp.zeros((ncon,), dtype=dtype)
+        cf = jnp.zeros((m.ncon,), dtype=dtype)
 
     # actuator joint torques (after gear) for torque-penalty rewards
     # (simulation/reward_functions.py joint-torque terms)
@@ -135,7 +145,7 @@ def forward(m: Model, state: State, ctrl: jax.Array,
     info = StepInfo(
         xpos=kin.xpos, xquat=kin.xquat, xipos=kin.xipos,
         site_xpos=kin.site_xpos, com=kin.anchor, com_vel=vel.com_vel,
-        contact_dist=contacts.dist, contact_force=cf,
+        contact_dist=contacts_full.dist, contact_force=cf,
         qacc=qacc, actuator_force=actuator_force, qfrc_total=qfrc_total,
         diverged=diverged)
     return qacc, qfrc_total, M, info
