@@ -49,6 +49,24 @@ class Efc:
     pos: jax.Array    # (ne,) signed constraint distance (for reporting)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Rows:
+    """Raw constraint rows before the mass-matrix-dependent finish.
+
+    The fused TPU kernel (pallas_solver) consumes these directly and
+    derives aref / D internally; the JAX path finishes them into Efc.
+    Per row: aref = -b * (J @ qvel) - k * d * pos, and
+    D = 1 / (max((1-d)/d, eps) * diag(J M^-1 J^T)).
+    """
+
+    J: jax.Array      # (ne, nv)
+    pos: jax.Array    # (ne,)
+    k: jax.Array      # (ne,) stiffness
+    b: jax.Array      # (ne,) damping
+    d: jax.Array      # (ne,) impedance
+
+
 def impedance(solimp: jax.Array, violation: jax.Array) -> jax.Array:
     """MuJoCo solimp sigmoid (power 2, midpoint 0.5): dmin -> dmax."""
     dmin, dmax, width = solimp[0], solimp[1], solimp[2]
@@ -70,10 +88,9 @@ def _kb(solref: jax.Array, solimp: jax.Array, d: jax.Array, dt=None):
     return k, b
 
 
-def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
-             contacts: Contacts, Mchol: jax.Array,
-             sel: jax.Array | None = None) -> Efc:
-    """Build constraint rows: joint limits then contact pyramid edges.
+def make_rows(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
+              contacts: Contacts, sel: jax.Array | None = None) -> Rows:
+    """Build raw constraint rows: joint limits then contact pyramid edges.
 
     `contacts` may be the full fixed-capacity set or a top-k reduced set
     from collision.select_contacts; in the latter case `sel` carries the
@@ -83,7 +100,7 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
     s = m.struct
     dtype = qpos.dtype
     nv = s.nv
-    rows_J, rows_pos, rows_vel, rows_d, rows_solref = [], [], [], [], []
+    rows_J, rows_pos, rows_d = [], [], []
 
     # ---- joint limits: 2 rows per limited scalar joint ----
     eye = jnp.eye(nv, dtype=dtype)
@@ -99,10 +116,8 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
                            (-1.0, hi - mg - qpos[qadr])):
             rows_J.append(sign * eye[vadr])
             rows_pos.append(dist)
-            rows_vel.append(sign * qvel[vadr])
             d = impedance(m.limit_solimp, -dist)
             rows_d.append(d)
-            rows_solref.append(m.limit_solref)
 
     nlimit = len(rows_J)
 
@@ -164,15 +179,11 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
         ], axis=1)
         pyramid = pyramid.reshape(ncon * 10, nv)
         cpos = jnp.repeat(contacts.dist, 10)
-        cvel = pyramid @ qvel
         cd = impedance(m.solimp, -cpos)
-        rows = pyramid
 
         lim_J = (jnp.stack(rows_J) if nlimit
                  else jnp.zeros((0, nv), dtype=dtype))
         lim_pos = (jnp.stack(rows_pos) if nlimit
-                   else jnp.zeros((0,), dtype=dtype))
-        lim_vel = (jnp.stack(rows_vel) if nlimit
                    else jnp.zeros((0,), dtype=dtype))
         lim_d = (jnp.stack(rows_d) if nlimit
                  else jnp.zeros((0,), dtype=dtype))
@@ -180,31 +191,47 @@ def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
         k_l, b_l = _kb(m.limit_solref, m.limit_solimp, lim_d, m.dt)
         k_c, b_c = _kb(m.solref, m.solimp, cd, m.dt)
 
-        J = jnp.concatenate([lim_J, rows], axis=0)
-        pos = jnp.concatenate([lim_pos, cpos])
-        aref = jnp.concatenate([
-            -b_l * lim_vel - k_l * lim_d * lim_pos,
-            -b_c * cvel - k_c * cd * cpos,
-        ])
-        d_all = jnp.concatenate([lim_d, cd])
+        return Rows(
+            J=jnp.concatenate([lim_J, pyramid], axis=0),
+            pos=jnp.concatenate([lim_pos, cpos]),
+            k=jnp.concatenate([k_l, k_c]),
+            b=jnp.concatenate([jnp.broadcast_to(b_l, (nlimit,)),
+                               jnp.broadcast_to(b_c, (ncon * 10,))]),
+            d=jnp.concatenate([lim_d, cd]))
     elif nlimit:
-        J = jnp.stack(rows_J)
         pos = jnp.stack(rows_pos)
         lim_d = jnp.stack(rows_d)
         k_l, b_l = _kb(m.limit_solref, m.limit_solimp, lim_d, m.dt)
-        aref = -b_l * jnp.stack(rows_vel) - k_l * lim_d * pos
-        d_all = lim_d
-    else:
-        return Efc(J=jnp.zeros((0, nv), dtype=dtype),
-                   aref=jnp.zeros((0,), dtype=dtype),
-                   D=jnp.zeros((0,), dtype=dtype),
-                   pos=jnp.zeros((0,), dtype=dtype))
+        return Rows(J=jnp.stack(rows_J), pos=pos, k=k_l,
+                    b=jnp.broadcast_to(b_l, (nlimit,)), d=lim_d)
+    z = jnp.zeros((0,), dtype=dtype)
+    return Rows(J=jnp.zeros((0, nv), dtype=dtype), pos=z, k=z, b=z, d=z)
 
-    # R_i = (1-d)/d * diag(J M^-1 J^T)_i ;  D = 1/R
-    MiJt = linalg.chol_solve(Mchol, J.T)                  # (nv, ne)
-    diagA = jnp.maximum(jnp.sum(J.T * MiJt, axis=0), 1e-10)
-    R = jnp.maximum((1.0 - d_all) / jnp.maximum(d_all, 1e-4), 1e-6) * diagA
-    return Efc(J=J, aref=aref, D=1.0 / R, pos=pos)
+
+def finish_efc(rows: Rows, qvel: jax.Array, Mchol: jax.Array) -> Efc:
+    """Mass-matrix finish: aref and the D penalty weights.
+
+    aref_i = -b_i * (J_i qvel) - k_i * d_i * pos_i
+    R_i = (1-d)/d * diag(J M^-1 J^T)_i ;  D = 1/R
+    """
+    if rows.J.shape[0] == 0:
+        z = jnp.zeros((0,), dtype=qvel.dtype)
+        return Efc(J=rows.J, aref=z, D=z, pos=z)
+    vel = rows.J @ qvel
+    aref = -rows.b * vel - rows.k * rows.d * rows.pos
+    MiJt = linalg.chol_solve(Mchol, rows.J.T)             # (nv, ne)
+    diagA = jnp.maximum(jnp.sum(rows.J.T * MiJt, axis=0), 1e-10)
+    R = jnp.maximum((1.0 - rows.d) / jnp.maximum(rows.d, 1e-4),
+                    1e-6) * diagA
+    return Efc(J=rows.J, aref=aref, D=1.0 / R, pos=rows.pos)
+
+
+def make_efc(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
+             contacts: Contacts, Mchol: jax.Array,
+             sel: jax.Array | None = None) -> Efc:
+    """Build finished constraint rows (make_rows + finish_efc)."""
+    return finish_efc(make_rows(m, kin, qpos, qvel, contacts, sel), qvel,
+                      Mchol)
 
 
 def newton_solve(M: jax.Array, Mchol: jax.Array, qfrc_smooth: jax.Array,

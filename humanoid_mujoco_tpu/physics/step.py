@@ -30,7 +30,7 @@ from .collision import collide, select_contacts
 from .engine import (actuation, crb_mass_matrix, fwd_position, fwd_velocity,
                      passive_force, rnea_bias, thrust_qfrc, xfrc_to_qfrc)
 from .model import JointType, Model, State
-from .solver import make_efc, newton_solve
+from .solver import newton_solve
 
 _QVEL_LIMIT = 1e4
 
@@ -66,6 +66,73 @@ def _num_limit_rows(m: Model) -> int:
     return n
 
 
+def _prepare(m: Model, state: State, ctrl: jax.Array,
+             xfrc: Optional[jax.Array]):
+    """Smooth dynamics + collision + constraint-row assembly (shared by
+    the JAX solver path in `forward` and the fused-kernel path in `step`)."""
+    from .model import ActuatorType
+    from .solver import make_rows
+    qpos, qvel = state.qpos, state.qvel
+    s = m.struct
+
+    kin = fwd_position(m, qpos)
+    vel = fwd_velocity(m, kin, qvel)
+    M = crb_mass_matrix(m, kin)
+    bias = rnea_bias(m, kin, vel, qvel)
+    tau = actuation(m, qpos, qvel, ctrl)
+    qfrc_passive = passive_force(m, qpos, qvel)
+    qfrc_smooth = tau + qfrc_passive - bias
+    if any(t == ActuatorType.SITE_THRUST for t in s.act_type):
+        qfrc_smooth = qfrc_smooth + thrust_qfrc(m, kin, ctrl)
+    if xfrc is not None:
+        qfrc_smooth = qfrc_smooth + xfrc_to_qfrc(m, kin, xfrc)
+
+    contacts_full = collide(m, kin.xpos, kin.xmat)
+    K = s.max_contacts
+    if 0 < K < m.ncon:
+        contacts, sel = select_contacts(contacts_full, K)
+    else:
+        contacts, sel = contacts_full, None
+    rows = make_rows(m, kin, qpos, qvel, contacts, sel)
+    return kin, vel, M, qfrc_smooth, contacts_full, contacts, sel, rows
+
+
+def _contact_forces(m: Model, efc_f: jax.Array, ncon: int,
+                    sel, dtype) -> jax.Array:
+    """Per-slot normal forces: sum the 10 pyramid-edge forces per slot
+    (every condim-6 edge has unit normal coefficient), scattered back to
+    the full fixed slot layout when top-k selection is active."""
+    nlim = _num_limit_rows(m)
+    if ncon and efc_f.shape[0] >= nlim + 10 * ncon:
+        cf_sel = efc_f[nlim:nlim + 10 * ncon].reshape(ncon, 10).sum(axis=-1)
+        if sel is not None:
+            return jnp.zeros((m.ncon,), dtype=dtype).at[sel].set(cf_sel)
+        return cf_sel
+    return jnp.zeros((m.ncon,), dtype=dtype)
+
+
+def _actuator_force(m: Model, qpos: jax.Array, qvel: jax.Array,
+                    ctrl: jax.Array, dtype) -> jax.Array:
+    """Actuator joint torques (after gear) for torque-penalty rewards
+    (simulation/reward_functions.py joint-torque terms)."""
+    from .model import ActuatorType
+    s = m.struct
+    if not s.nu:
+        return jnp.zeros((0,), dtype=dtype)
+    c = jnp.clip(ctrl, m.act_ctrlrange[:, 0], m.act_ctrlrange[:, 1])
+    af = []
+    for a in range(s.nu):
+        j = s.act_jnt[a]
+        if s.act_type[a] in (ActuatorType.MOTOR, ActuatorType.SITE_THRUST):
+            force = c[a]
+        else:
+            force = (m.act_kp[a] * (c[a] - qpos[s.jnt_qadr[j]])
+                     - m.act_kv[a] * qvel[s.jnt_vadr[j]])
+        af.append(m.act_gear[a] * jnp.clip(
+            force, m.act_forcerange[a, 0], m.act_forcerange[a, 1]))
+    return jnp.stack(af)
+
+
 def forward(m: Model, state: State, ctrl: jax.Array,
             xfrc: Optional[jax.Array] = None,
             solver_iters: int = 8, ift: bool = False
@@ -76,67 +143,20 @@ def forward(m: Model, state: State, ctrl: jax.Array,
     (used by RK4 and by derivative code; Euler re-solves with implicit
     damping in `step`).
     """
+    from .solver import finish_efc
     qpos, qvel = state.qpos, state.qvel
     dtype = qpos.dtype
-    s = m.struct
 
-    kin = fwd_position(m, qpos)
-    vel = fwd_velocity(m, kin, qvel)
-    M = crb_mass_matrix(m, kin)
-    bias = rnea_bias(m, kin, vel, qvel)
-    tau = actuation(m, qpos, qvel, ctrl)
-    qfrc_passive = passive_force(m, qpos, qvel)
-    qfrc_smooth = tau + qfrc_passive - bias
-    from .model import ActuatorType
-    if any(t == ActuatorType.SITE_THRUST for t in s.act_type):
-        qfrc_smooth = qfrc_smooth + thrust_qfrc(m, kin, ctrl)
-    if xfrc is not None:
-        qfrc_smooth = qfrc_smooth + xfrc_to_qfrc(m, kin, xfrc)
-
+    kin, vel, M, qfrc_smooth, contacts_full, contacts, sel, rows = \
+        _prepare(m, state, ctrl, xfrc)
     Mchol = linalg.chol_factor(M)
-    contacts_full = collide(m, kin.xpos, kin.xmat)
-    K = s.max_contacts
-    if 0 < K < m.ncon:
-        contacts, sel = select_contacts(contacts_full, K)
-    else:
-        contacts, sel = contacts_full, None
-    efc = make_efc(m, kin, qpos, qvel, contacts, Mchol, sel=sel)
+    efc = finish_efc(rows, qvel, Mchol)
     qacc, efc_f, qfrc_constraint = newton_solve(
         M, Mchol, qfrc_smooth, efc, niter=solver_iters, ift=ift)
     qfrc_total = qfrc_smooth + qfrc_constraint
 
-    # contact normal forces: sum the 10 pyramid-edge forces per slot
-    # (every condim-6 edge has unit normal coefficient), scattered back to
-    # the full fixed slot layout when top-k selection is active
-    nlim = _num_limit_rows(m)
-    ncon = contacts.dist.shape[0]
-    if ncon and efc_f.shape[0] >= nlim + 10 * ncon:
-        cf_sel = efc_f[nlim:nlim + 10 * ncon].reshape(ncon, 10).sum(axis=-1)
-        if sel is not None:
-            cf = jnp.zeros((m.ncon,), dtype=dtype).at[sel].set(cf_sel)
-        else:
-            cf = cf_sel
-    else:
-        cf = jnp.zeros((m.ncon,), dtype=dtype)
-
-    # actuator joint torques (after gear) for torque-penalty rewards
-    # (simulation/reward_functions.py joint-torque terms)
-    if s.nu:
-        c = jnp.clip(ctrl, m.act_ctrlrange[:, 0], m.act_ctrlrange[:, 1])
-        af = []
-        for a in range(s.nu):
-            j = s.act_jnt[a]
-            if s.act_type[a] in (ActuatorType.MOTOR,
-                                 ActuatorType.SITE_THRUST):
-                force = c[a]
-            else:
-                force = (m.act_kp[a] * (c[a] - qpos[s.jnt_qadr[j]])
-                         - m.act_kv[a] * qvel[s.jnt_vadr[j]])
-            af.append(m.act_gear[a] * jnp.clip(
-                force, m.act_forcerange[a, 0], m.act_forcerange[a, 1]))
-        actuator_force = jnp.stack(af)
-    else:
-        actuator_force = jnp.zeros((0,), dtype=dtype)
+    cf = _contact_forces(m, efc_f, contacts.dist.shape[0], sel, dtype)
+    actuator_force = _actuator_force(m, qpos, qvel, ctrl, dtype)
 
     diverged = jnp.logical_or(
         ~jnp.all(jnp.isfinite(qacc)),
@@ -180,17 +200,44 @@ def step(m: Model, state: State, ctrl: jax.Array,
          solver_iters: int = 8, ift: bool = False) -> Tuple[State, StepInfo]:
     """Semi-implicit Euler with implicit joint damping (mj_Euler analog).
 
+    The constraint Newton solve and the implicit-damping velocity update
+    (M + h*diag(damping)) dv = h * qfrc_total — exactly MuJoCo's Euler
+    formulation — run through `pallas_solver.solve_constraints_euler`:
+    one fused TPU kernel per batch tile under vmap (rollout/env batches),
+    the equivalent pure-JAX path otherwise.
+
     `ift=True` routes the contact solve through implicit-function
-    derivatives (solver.newton_solve ift) — for AD/linearization callers.
+    derivatives (solver.newton_solve ift) — for AD/linearization callers
+    (that path never enters the fused kernel).
     """
-    _, qfrc_total, M, info = forward(m, state, ctrl, xfrc, solver_iters,
-                                     ift=ift)
     h = m.dt
-    # (M + h*diag(damping)) dv = h * qfrc_total  (damping explicit in qfrc,
-    # implicit in the solve — exactly MuJoCo's formulation)
-    MhD = M + h * jnp.diag(m.dof_damping)
-    dv = h * linalg.solve_psd(MhD, qfrc_total)
-    qvel_new = state.qvel + dv
+    if ift:
+        _, qfrc_total, M, info = forward(m, state, ctrl, xfrc, solver_iters,
+                                         ift=True)
+        MhD = M + h * jnp.diag(m.dof_damping)
+        dv = h * linalg.solve_psd(MhD, qfrc_total)
+        qvel_new = state.qvel + dv
+    else:
+        from .pallas_solver import solve_constraints_euler
+        qpos, qvel = state.qpos, state.qvel
+        dtype = qpos.dtype
+        kin, vel, M, qfrc_smooth, contacts_full, contacts, sel, rows = \
+            _prepare(m, state, ctrl, xfrc)
+        qacc, qvel_new, efc_f, qfrc_constraint = solve_constraints_euler(
+            M, qfrc_smooth, qvel, rows.J, rows.pos, rows.k, rows.b,
+            rows.d, h * m.dof_damping, h, niter=solver_iters)
+        qfrc_total = qfrc_smooth + qfrc_constraint
+        cf = _contact_forces(m, efc_f, contacts.dist.shape[0], sel, dtype)
+        diverged = jnp.logical_or(
+            ~jnp.all(jnp.isfinite(qacc)),
+            jnp.max(jnp.abs(qvel)) > _QVEL_LIMIT)
+        info = StepInfo(
+            xpos=kin.xpos, xquat=kin.xquat, xipos=kin.xipos,
+            site_xpos=kin.site_xpos, com=kin.anchor, com_vel=vel.com_vel,
+            contact_dist=contacts_full.dist, contact_force=cf,
+            qacc=qacc, actuator_force=_actuator_force(m, qpos, qvel, ctrl,
+                                                      dtype),
+            qfrc_total=qfrc_total, diverged=diverged)
     qpos_new = integrate_pos(m, state.qpos, qvel_new, h)
 
     diverged = jnp.logical_or(info.diverged,
