@@ -248,7 +248,10 @@ def inverse_dynamics(m: Model, qpos: jax.Array, qvel: jax.Array,
     vel = fwd_velocity(m, kin, qvel)
     M = crb_mass_matrix(m, kin)
     bias = rnea_bias(m, kin, vel, qvel)
-    return M @ qacc + bias - passive_force(m, qpos, qvel)
+    qfrc_passive = passive_force(m, qpos, qvel)
+    if m.struct.fluid_density or m.struct.fluid_viscosity:
+        qfrc_passive = qfrc_passive + fluid_force(m, kin, vel)
+    return M @ qacc + bias - qfrc_passive
 
 
 def point_jacobian(m: Model, kin: Kin, body: int, point: jax.Array
@@ -356,6 +359,58 @@ def passive_force(m: Model, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
                               m.qpos_spring[qadr:qadr + 4])
             qfrc = qfrc.at[vadr:vadr + 3].add(-m.jnt_stiffness[j] * dif)
     return qfrc
+
+
+def fluid_force(m: Model, kin: Kin, vel: Vel) -> jax.Array:
+    """Inertia-box fluid drag (mj_inertiaBoxFluidModel analog).
+
+    MuJoCo's default medium model, which the reference's swimmer task
+    relies on for propulsion (swimmer.xml.patch sets density=1000 with
+    contact disabled): each body is replaced by the box with the same
+    mass/inertia; Stokes viscous drag plus quadratic density drag act on
+    its body-frame velocity at the COM. Full box dims from the diagonal
+    inertia: d_i = sqrt(6 (I_j + I_k - I_i) / mass).
+
+      viscous:  F = -3 pi d_mean mu v,  T = -pi d_mean^3 mu w
+      density:  F_i = -1/2 rho d_j d_k |v_i| v_i
+                T_i = -rho d_i (d_j^4 + d_k^4) |w_i| w_i / 64
+
+    Everything is batched over bodies — no per-body Python loop.
+    """
+    s = m.struct
+    rho = s.fluid_density
+    mu = s.fluid_viscosity
+    dtype = kin.xpos.dtype
+
+    # body-frame (inertial-frame) velocity at the COM
+    v_com = vel.cvel[:, 3:] + jnp.cross(vel.cvel[:, :3],
+                                        kin.xipos - kin.anchor)
+    w_com = vel.cvel[:, :3]
+    Ri = kin.xmat @ jax.vmap(pm.quat_to_mat)(m.body_iquat)  # (nbody, 3, 3)
+    lv = jnp.einsum("bji,bj->bi", Ri, v_com)
+    lw = jnp.einsum("bji,bj->bi", Ri, w_com)
+
+    mass = jnp.maximum(m.body_mass, 1e-12)[:, None]
+    inertia = m.body_inertia
+    isum = jnp.sum(inertia, axis=-1, keepdims=True)
+    d = jnp.sqrt(jnp.maximum(6.0 * (isum - 2.0 * inertia) / mass, 1e-12))
+    dj = jnp.roll(d, -1, axis=-1)
+    dk = jnp.roll(d, -2, axis=-1)
+
+    frc = jnp.zeros_like(lv)
+    trq = jnp.zeros_like(lw)
+    if mu:
+        diam = jnp.mean(d, axis=-1, keepdims=True)
+        frc = frc - 3.0 * jnp.pi * diam * mu * lv
+        trq = trq - jnp.pi * diam ** 3 * mu * lw
+    if rho:
+        frc = frc - 0.5 * rho * dj * dk * jnp.abs(lv) * lv
+        trq = trq - rho * d * (dj ** 4 + dk ** 4) / 64.0 * jnp.abs(lw) * lw
+
+    live = (m.body_mass > 1e-12).astype(dtype)[:, None]
+    frc_w = jnp.einsum("bij,bj->bi", Ri, frc) * live
+    trq_w = jnp.einsum("bij,bj->bi", Ri, trq) * live
+    return xfrc_to_qfrc(m, kin, jnp.concatenate([frc_w, trq_w], axis=-1))
 
 
 def xfrc_to_qfrc(m: Model, kin: Kin, xfrc: jax.Array) -> jax.Array:

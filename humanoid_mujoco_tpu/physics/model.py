@@ -109,10 +109,19 @@ class Structure:
     # a static shape). Cuts constraint-row count ~2x on the humanoid.
     max_contacts: int = 0
 
+    # medium properties (MJCF <option density/viscosity>): when nonzero,
+    # per-body inertia-box fluid drag enters the passive force (the
+    # swimmer task model sets density=1000 and disables contact,
+    # mjpc/tasks/swimmer/swimmer.xml.patch). Static so density==0 models
+    # skip the computation entirely at trace time.
+    fluid_density: float = 0.0
+    fluid_viscosity: float = 0.0
+
     def __hash__(self):
         return hash((self.nq, self.nv, self.nu, self.nbody, self.njnt,
                      self.nsph, self.npair, self.body_parent, self.jnt_type,
-                     self.dof_mask_bytes, self.max_contacts))
+                     self.dof_mask_bytes, self.max_contacts,
+                     self.fluid_density, self.fluid_viscosity))
 
     @property
     def dof_mask(self) -> np.ndarray:
@@ -249,6 +258,8 @@ class ModelBuilder:
         self.floor_friction_roll = 0.0001
         self.has_floor = True
         self.max_contacts = 0
+        self.fluid_density = 0.0     # MJCF <option density>
+        self.fluid_viscosity = 0.0   # MJCF <option viscosity>
         self.hfield_shape = (2, 2)
         self.hfield_halfsize = (10.0, 10.0)
         self.solref = (0.015, 1.0)      # world.xml:19 geom solref ".015 1"
@@ -375,6 +386,8 @@ class ModelBuilder:
             site_body=tuple(s["body"] for s in self._sites),
             has_floor=self.has_floor,
             max_contacts=self.max_contacts,
+            fluid_density=float(self.fluid_density),
+            fluid_viscosity=float(self.fluid_viscosity),
         )
 
         def arr(vals, shape=None):

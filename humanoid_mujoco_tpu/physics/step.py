@@ -81,6 +81,9 @@ def _prepare(m: Model, state: State, ctrl: jax.Array,
     bias = rnea_bias(m, kin, vel, qvel)
     tau = actuation(m, qpos, qvel, ctrl)
     qfrc_passive = passive_force(m, qpos, qvel)
+    if s.fluid_density or s.fluid_viscosity:
+        from .engine import fluid_force
+        qfrc_passive = qfrc_passive + fluid_force(m, kin, vel)
     qfrc_smooth = tau + qfrc_passive - bias
     if any(t == ActuatorType.SITE_THRUST for t in s.act_type):
         qfrc_smooth = qfrc_smooth + thrust_qfrc(m, kin, ctrl)

@@ -52,6 +52,7 @@ def _register_builtin():
     from .quadrotor import quadrotor_model, quadrotor_task
     from .quadruped import quadruped_model, quadruped_task
     from .stand import stand_task
+    from .swimmer import swimmer_model, swimmer_task
     from .walk import walk_task
     from .walker2d import walker_model, walker_task
     register("Acrobot", acrobot_task, acrobot_model)
@@ -62,6 +63,7 @@ def _register_builtin():
     register("ParticleFixed", particle_fixed_task, particle_model)
     register("Quadrotor", quadrotor_task, quadrotor_model)
     register("Quadruped Flat", quadruped_task, quadruped_model)
+    register("Swimmer", swimmer_task, swimmer_model)
     register("Walker", walker_task, walker_model)
 
 

@@ -34,10 +34,11 @@ class TestRegistry:
         names = registry.list_tasks()
         for want in ("Acrobot", "Cartpole", "Humanoid Cap Stand",
                      "Humanoid Cap Walk", "Particle", "ParticleFixed",
-                     "Quadrotor", "Walker"):
+                     "Quadrotor", "Swimmer", "Walker"):
             assert want in names
 
-    @pytest.mark.parametrize("name", ["Acrobot", "Cartpole", "Walker"])
+    @pytest.mark.parametrize("name", ["Acrobot", "Cartpole", "Swimmer",
+                                      "Walker"])
     def test_model_and_residual_dims(self, name):
         """Every task's model builds; residual length == sum of term
         dims (the task_test.cc dim assertion)."""
@@ -132,6 +133,106 @@ class TestAcrobot:
         tip_z = float(info.site_xpos[m.struct.site_id("tip")][2])
         assert jnp.all(jnp.isfinite(res.costs))
         assert tip_z > 1.0, tip_z   # started at 0.0, shoulder at 2.0
+
+
+class TestSwimmer:
+    def test_fluid_drag_decelerates_coasting(self):
+        """A coasting swimmer (no actuation) loses speed to the
+        density-1000 medium — the hydrodynamics the reference model
+        relies on for propulsion (swimmer.xml.patch density=1000 with
+        contact disabled)."""
+        from humanoid_mujoco_tpu.tasks.swimmer import swimmer_model
+        m = swimmer_model()
+        m_ = m
+
+        @jax.jit
+        def coast(v0):
+            s = make_state(m_).replace(qvel=v0)
+
+            def body(s, _):
+                s2, _ = step(m_, s, jnp.zeros(m_.nu))
+                return s2, None
+            return jax.lax.scan(body, s, None, length=100)[0].qvel
+
+        z = jnp.zeros(m.nv)
+        v_stream = coast(z.at[1].set(0.3))[1]   # along the body axis
+        v_broad = coast(z.at[0].set(0.3))[0]    # broadside
+        # both decelerate, neither reverses
+        assert 0.0 < float(v_stream) < 0.3
+        assert 0.0 <= float(v_broad) < 0.3
+        # anisotropy: broadside drag (area d_y*d_z) dominates streamwise
+        # (d_x*d_z) — the asymmetry undulation converts into thrust
+        assert float(v_broad) < 0.3 * float(v_stream), (
+            float(v_broad), float(v_stream))
+
+    def test_undulation_swims(self):
+        """An open-loop traveling wave down the joints propels the
+        swimmer — anisotropic inertia-box drag converts undulation into
+        thrust (no contacts to push on)."""
+        from humanoid_mujoco_tpu.tasks.swimmer import swimmer_model
+        m = swimmer_model()
+        s = make_state(m)
+
+        @jax.jit
+        def run(s):
+            def body(st, i):
+                t = i.astype(jnp.float32) * 0.01
+                k = jnp.arange(5, dtype=jnp.float32)
+                ctrl = jnp.sin(2 * jnp.pi * t - 1.2 * k)
+                st2, _ = step(m, st, ctrl)
+                return st2, None
+            return jax.lax.scan(body, s, jnp.arange(400))[0]
+
+        s2 = run(s)
+        assert float(jnp.linalg.norm(s2.qpos[:2])) > 0.2
+        assert bool(jnp.all(jnp.isfinite(s2.qvel)))
+
+    def test_mpc_swims_toward_target(self):
+        """Sampling MPC closes on the target (sampling_planner_test.cc
+        'goal approached' pattern, swimmer task.xml Distance term)."""
+        from humanoid_mujoco_tpu.tasks.swimmer import (swimmer_model,
+                                                       swimmer_task)
+        m = swimmer_model()
+        task = swimmer_task(target=(0.0, -0.5))
+        s0 = make_state(m)
+        pm_ = mpc.make_plan_model(m, 0.02)
+        cfg = SamplingConfig(nsample=40, nknots=6, horizon=60,
+                             order=SplineOrder.LINEAR, solver_iters=1,
+                             exploration=jnp.asarray(0.3))
+        pol = init_policy(m, cfg.nknots)
+
+        res = jax.jit(lambda s, p, k: mpc.mpc_rollout(
+            m, pm_, task, lambda mm, tt, pp, ss, kk: sampling_plan(
+                mm, tt, cfg, pp, ss, kk),
+            p, s, k, ncycle=40, steps_per_plan=10,
+            action_fn=mpc.spline_action_fn(cfg.order),
+            sim_solver_iters=1))(s0, pol, jax.random.PRNGKey(2))
+
+        assert jnp.all(jnp.isfinite(res.costs))
+        d0 = float(jnp.linalg.norm(jnp.asarray([0.0, -0.06]) -
+                                   jnp.asarray([0.0, -0.5])))
+        qf = res.final_state.qpos
+        # head xy after the run (nose is 0.06 ahead, ignore heading)
+        df = float(jnp.linalg.norm(qf[:2] - jnp.asarray([0.0, -0.5])))
+        assert df < 0.75 * d0, (d0, df)
+
+    def test_transition_respawns_target(self):
+        """Swimmer::TransitionLocked (swimmer.cc:49-60): target jumps
+        into [-0.8, 0.8]^2 once the nose is within 0.04."""
+        from humanoid_mujoco_tpu.tasks.swimmer import (swimmer_model,
+                                                       swimmer_task)
+        m = swimmer_model()
+        s = make_state(m)
+        _, _, _, info = forward(m, s, jnp.zeros(m.nu))
+        nose = info.site_xpos[m.struct.site_id("nose")]
+        far = swimmer_task(target=(0.8, 0.8)).transition(m, s, info)
+        np.testing.assert_allclose(np.asarray(far.mocap_pos[0, :2]),
+                                   [0.8, 0.8])
+        near = swimmer_task(
+            target=(float(nose[0]), float(nose[1]))).transition(m, s, info)
+        moved = np.asarray(near.mocap_pos[0, :2])
+        assert np.linalg.norm(moved - np.asarray(nose[:2])) > 0.04
+        assert np.all(np.abs(moved) <= 0.8)
 
 
 class TestWalker:
