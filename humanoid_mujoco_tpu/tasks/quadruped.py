@@ -75,10 +75,19 @@ _LEGS = (("FL", 0.183, 1.0), ("HL", -0.183, 1.0),
          ("FR", 0.183, -1.0), ("HR", -0.183, -1.0))
 
 
-def quadruped_model(dt: float = 0.004, dtype=jnp.float32) -> Model:
-    """Unitree A1 (a1_modified.xml numbers, ref=0 joint convention)."""
+def quadruped_model(dt: float = 0.004, dtype=jnp.float32,
+                    hfield_shape=None, hfield_halfsize=None) -> Model:
+    """Unitree A1 (a1_modified.xml numbers, ref=0 joint convention).
+
+    `hfield_shape`/`hfield_halfsize` size the floor heightfield for the
+    Hill variant (task_hill.xml terrain) — shape is static topology, so
+    it must be set at build time."""
     b = ModelBuilder(dt=dt)
     b.has_floor = True
+    if hfield_shape is not None:
+        b.hfield_shape = hfield_shape
+    if hfield_halfsize is not None:
+        b.hfield_halfsize = hfield_halfsize
 
     trunk = b.add_body("trunk", -1, pos=(0.0, 0.0, 0.27), mass=4.713,
                        ipos=(0.0, 0.0041, -0.0005),

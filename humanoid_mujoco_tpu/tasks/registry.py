@@ -51,6 +51,7 @@ def _register_builtin():
     from .particle import particle_fixed_task, particle_model, particle_task
     from .quadrotor import quadrotor_model, quadrotor_task
     from .quadruped import quadruped_model, quadruped_task
+    from .quadruped_hill import quadruped_hill_model, quadruped_hill_task
     from .stand import stand_task
     from .swimmer import swimmer_model, swimmer_task
     from .walk import walk_task
@@ -63,6 +64,7 @@ def _register_builtin():
     register("ParticleFixed", particle_fixed_task, particle_model)
     register("Quadrotor", quadrotor_task, quadrotor_model)
     register("Quadruped Flat", quadruped_task, quadruped_model)
+    register("Quadruped Hill", quadruped_hill_task, quadruped_hill_model)
     register("Swimmer", swimmer_task, swimmer_model)
     register("Walker", walker_task, walker_model)
 

@@ -34,7 +34,8 @@ class TestRegistry:
         names = registry.list_tasks()
         for want in ("Acrobot", "Cartpole", "Humanoid Cap Stand",
                      "Humanoid Cap Walk", "Particle", "ParticleFixed",
-                     "Quadrotor", "Swimmer", "Walker"):
+                     "Quadrotor", "Quadruped Flat", "Quadruped Hill",
+                     "Swimmer", "Walker"):
             assert want in names
 
     @pytest.mark.parametrize("name", ["Acrobot", "Cartpole", "Swimmer",
@@ -133,6 +134,91 @@ class TestAcrobot:
         tip_z = float(info.site_xpos[m.struct.site_id("tip")][2])
         assert jnp.all(jnp.isfinite(res.costs))
         assert tip_z > 1.0, tip_z   # started at 0.0, shoulder at 2.0
+
+
+class TestQuadruped:
+    def test_flat_settles_standing(self):
+        """PD home pose on flat ground: contact supports the weight, no
+        divergence (a1.xml home keyframe)."""
+        from humanoid_mujoco_tpu.tasks.quadruped import (home_ctrl,
+                                                         quadruped_home_qpos,
+                                                         quadruped_model)
+        m = quadruped_model()
+        s = make_state(m, qpos=quadruped_home_qpos(m))
+
+        @jax.jit
+        def run(s):
+            def body(st, _):
+                st2, info = step(m, st, home_ctrl(m))
+                return st2, (info.diverged, jnp.sum(info.contact_force))
+            return jax.lax.scan(body, s, None, length=300)
+
+        s2, (div, fn) = run(s)
+        assert not bool(jnp.any(div))
+        weight = float(9.81 * jnp.sum(m.body_mass))
+        np.testing.assert_allclose(float(fn[-1]), weight, rtol=0.05)
+        assert abs(float(s2.qpos[2]) - 0.27) < 0.05
+
+    def test_hill_settles_on_slope(self):
+        """Hill variant: dropped at a ring waypoint, the A1 lands on the
+        heightfield slope and stands at terrain + trunk height."""
+        from humanoid_mujoco_tpu.tasks.quadruped import (home_ctrl,
+                                                         quadruped_home_qpos)
+        from humanoid_mujoco_tpu.tasks.quadruped_hill import (
+            _hill_height_np, quadruped_hill_model)
+        m = quadruped_hill_model()
+        q = np.array(quadruped_home_qpos(m))
+        q[0], q[2] = 1.6, _hill_height_np(1.6, 0.0) + 0.30
+        s = make_state(m, qpos=jnp.asarray(q, jnp.float32))
+
+        @jax.jit
+        def run(s):
+            def body(st, _):
+                st2, info = step(m, st, home_ctrl(m))
+                return st2, info.diverged
+            return jax.lax.scan(body, s, None, length=400)
+
+        s2, div = run(s)
+        assert not bool(jnp.any(div))
+        terrain = _hill_height_np(float(s2.qpos[0]), float(s2.qpos[1]))
+        assert abs(float(s2.qpos[2]) - terrain - 0.26) < 0.06
+
+    def test_hill_waypoint_transition(self):
+        """QuadrupedHill::TransitionLocked (quadruped.cc:776-817): the
+        waypoint advances (and wraps) only within both tolerances."""
+        from humanoid_mujoco_tpu.tasks.quadruped import quadruped_home_qpos
+        from humanoid_mujoco_tpu.tasks.quadruped_hill import (
+            quadruped_hill_model, quadruped_hill_task, waypoints)
+        m = quadruped_hill_model()
+        task = quadruped_hill_task()
+        wpos, wquat = waypoints()
+
+        def at_pose(pos, quat):
+            q = np.array(quadruped_home_qpos(m))
+            q[:3] = np.asarray(pos)
+            q[3:7] = np.asarray(quat)
+            s = make_state(m, qpos=jnp.asarray(q, jnp.float32))
+            _, _, _, info = forward(m, s, jnp.zeros(m.nu))
+            return s, info
+
+        # at waypoint 0 with its heading -> advance to 1
+        s, info = at_pose(wpos[0], wquat[0])
+        t2 = task.transition(m, s, info)
+        assert int(t2.mode) == 1
+        np.testing.assert_allclose(np.asarray(t2.mocap_pos[0]),
+                                   np.asarray(wpos[1]), atol=1e-5)
+        # right position, wrong heading -> stay
+        s, info = at_pose(wpos[0], [1.0, 0.0, 0.0, 0.0])
+        t3 = task.transition(m, s, info)
+        assert int(t3.mode) == 0
+        # wrap: mode N-1 at its waypoint -> 0
+        tN = t2.set_mode(7)
+        tN = tN.set_mocap("goal", pos=np.asarray(wpos[7]))
+        import dataclasses as dc
+        tN = dc.replace(tN, mocap_quat=tN.mocap_quat.at[0].set(wquat[7]))
+        s, info = at_pose(wpos[7], wquat[7])
+        t4 = tN.transition(m, s, info)
+        assert int(t4.mode) == 0
 
 
 class TestSwimmer:
