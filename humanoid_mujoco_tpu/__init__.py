@@ -28,7 +28,12 @@ import os as _os
 # (bench, train, serving, experiments) re-jits the same physics modules;
 # caching compiled executables across processes removes that cost.
 # Opt out with HMT_NO_COMPILE_CACHE=1; relocate with HMT_COMPILE_CACHE.
-if _os.environ.get("HMT_NO_COMPILE_CACHE") != "1":
+# CPU runs skip the cache: XLA:CPU AOT executables are machine-feature
+# specific (loading one compiled on a different host warns "could lead
+# to execution errors such as SIGILL" and has produced hangs), and CPU
+# compiles are fast anyway — the cache exists for the slow TPU tunnel.
+if (_os.environ.get("HMT_NO_COMPILE_CACHE") != "1"
+        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")):
     import jax as _jax
 
     _cache = _os.environ.get(

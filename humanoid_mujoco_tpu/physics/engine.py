@@ -26,6 +26,11 @@ import jax.numpy as jnp
 from . import math as pm
 from .model import JointType, Model, Structure
 
+# full-precision accumulation for the inertia/dynamics contractions —
+# see crb_mass_matrix; cheap (tiny matmuls) and required for bodies with
+# small rotational inertia
+_HI = jax.lax.Precision.HIGHEST
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -113,8 +118,14 @@ def fwd_position(m: Model, qpos: jax.Array) -> Kin:
 
     # spatial inertia about the anchor
     imat = pm.quat_to_mat(m.body_iquat)           # inertial frame in body
-    R = xmat @ imat                                # inertial frame in world
-    inertia_w = R @ (m.body_inertia[..., None] * jnp.swapaxes(R, -1, -2))
+    # full-f32 accumulation: the default (bf16-pass) matmul precision on
+    # TPU/AMX loses ~8 bits — enough to make the mass matrix indefinite
+    # for bodies whose rotational inertia (1e-5 kg m^2, e.g. the panda
+    # task's box) is far below the parallel-axis intermediates (1e-2)
+    R = jnp.matmul(xmat, imat, precision=_HI)     # inertial frame in world
+    inertia_w = jnp.matmul(
+        R, m.body_inertia[..., None] * jnp.swapaxes(R, -1, -2),
+        precision=_HI)
     cinert = pm.spatial_inertia(m.body_mass, inertia_w, xipos - anchor)
 
     nsite = len(s.site_names)
@@ -169,7 +180,8 @@ def fwd_velocity(m: Model, kin: Kin, qvel: jax.Array) -> Vel:
     dtype = qvel.dtype
     body_dof = jnp.asarray(s.body_dof, dtype=dtype)      # (nbody, nv) static
     # body spatial velocities: masked sum of cdof * qvel along each chain
-    cvel = (body_dof * qvel) @ kin.cdof                  # (nbody, 6)
+    cvel = jnp.matmul(body_dof * qvel, kin.cdof,
+                      precision=_HI)                     # (nbody, 6)
 
     # cdof_dot: for dofs whose motion subspace is BODY-FIXED (hinge/slide
     # axes, ball/free rotation axes + anchors) the exact derivative is
@@ -207,7 +219,7 @@ def crb_mass_matrix(m: Model, kin: Kin) -> jax.Array:
     dtype = kin.cdof.dtype
     body_dof = jnp.asarray(s.body_dof, dtype=dtype)      # (nbody, nv)
     W = body_dof[:, :, None] * kin.cdof[None, :, :]       # (nbody, nv, 6)
-    M = jnp.einsum("bik,bkl,bjl->ij", W, kin.cinert, W)
+    M = jnp.einsum("bik,bkl,bjl->ij", W, kin.cinert, W, precision=_HI)
     M = 0.5 * (M + M.T) + jnp.diag(m.dof_armature)
     return M
 
@@ -224,10 +236,11 @@ def rnea_bias(m: Model, kin: Kin, vel: Vel, qvel: jax.Array) -> jax.Array:
     body_dof = jnp.asarray(s.body_dof, dtype=dtype)
     a0 = jnp.concatenate([jnp.zeros(3, dtype=dtype), -m.gravity])
     # cacc_b = a0 + sum_{j moves b} cdof_dot_j qvel_j
-    cacc = a0[None, :] + (body_dof * qvel) @ vel.cdof_dot  # (nbody, 6)
-    Iv = jnp.einsum("bij,bj->bi", kin.cinert, vel.cvel)
-    f = jnp.einsum("bij,bj->bi", kin.cinert, cacc) + pm.force_cross(
-        vel.cvel, Iv)
+    cacc = a0[None, :] + jnp.matmul(body_dof * qvel, vel.cdof_dot,
+                                    precision=_HI)         # (nbody, 6)
+    Iv = jnp.einsum("bij,bj->bi", kin.cinert, vel.cvel, precision=_HI)
+    f = jnp.einsum("bij,bj->bi", kin.cinert, cacc,
+                   precision=_HI) + pm.force_cross(vel.cvel, Iv)
     # bias_i = cdof_i · sum_{b : dof i moves b} f_b
     fsum = body_dof.T @ f                                 # (nv, 6)
     return jnp.sum(kin.cdof * fsum, axis=-1)
@@ -251,6 +264,8 @@ def inverse_dynamics(m: Model, qpos: jax.Array, qvel: jax.Array,
     qfrc_passive = passive_force(m, qpos, qvel)
     if m.struct.fluid_density or m.struct.fluid_viscosity:
         qfrc_passive = qfrc_passive + fluid_force(m, kin, vel)
+    if m.struct.has_gravcomp:
+        qfrc_passive = qfrc_passive + gravcomp_qfrc(m, kin)
     return M @ qacc + bias - qfrc_passive
 
 
@@ -317,9 +332,14 @@ def thrust_qfrc(m: Model, kin: Kin, ctrl: jax.Array) -> jax.Array:
         site = s.act_site[a]
         b = s.site_body[site]
         u = jnp.clip(c[a], m.act_forcerange[a, 0], m.act_forcerange[a, 1])
-        R = kin.xmat[b]
-        f_w = R @ (m.act_gear6[a, :3] * u)     # world force at site point
-        t_w = R @ (m.act_gear6[a, 3:] * u)     # world torque
+        if s.act_site_world and s.act_site_world[a]:
+            # refsite="world" semantics: gear is a world-frame wrench
+            f_w = m.act_gear6[a, :3] * u
+            t_w = m.act_gear6[a, 3:] * u
+        else:
+            R = kin.xmat[b]
+            f_w = R @ (m.act_gear6[a, :3] * u)  # world force at site point
+            t_w = R @ (m.act_gear6[a, 3:] * u)  # world torque
         # wrench about the body COM (xfrc_to_qfrc convention)
         t_com = t_w + jnp.cross(kin.site_xpos[site] - kin.xipos[b], f_w)
         xfrc = xfrc.at[b, :3].add(f_w).at[b, 3:].add(t_com)
@@ -359,6 +379,15 @@ def passive_force(m: Model, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
                               m.qpos_spring[qadr:qadr + 4])
             qfrc = qfrc.at[vadr:vadr + 3].add(-m.jnt_stiffness[j] * dif)
     return qfrc
+
+
+def gravcomp_qfrc(m: Model, kin: Kin) -> jax.Array:
+    """Per-body gravity compensation (MJCF body gravcomp): force
+    gravcomp * mass * (-gravity) at each body COM (engine_passive
+    semantics; the panda arm sets gravcomp=1 on every link)."""
+    frc = (m.body_gravcomp * m.body_mass)[:, None] * (-m.gravity)[None, :]
+    xfrc = jnp.concatenate([frc, jnp.zeros_like(frc)], axis=-1)
+    return xfrc_to_qfrc(m, kin, xfrc)
 
 
 def fluid_force(m: Model, kin: Kin, vel: Vel) -> jax.Array:

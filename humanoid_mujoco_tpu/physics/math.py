@@ -203,7 +203,8 @@ def spatial_inertia(mass: jax.Array, inertia_world: jax.Array,
     c = com_offset
     cx = skew(c)
     m = mass[..., None, None]
-    top_left = inertia_world + m * (cx @ jnp.swapaxes(cx, -1, -2))
+    top_left = inertia_world + m * jnp.matmul(
+        cx, jnp.swapaxes(cx, -1, -2), precision=jax.lax.Precision.HIGHEST)
     top_right = m * cx
     bot_left = m * jnp.swapaxes(cx, -1, -2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=cx.dtype), cx.shape)

@@ -117,6 +117,14 @@ class Structure:
     fluid_density: float = 0.0
     fluid_viscosity: float = 0.0
 
+    # per-actuator: SITE_THRUST wrench expressed in the world frame
+    # (MuJoCo site transmission with refsite="world", e.g. the panda
+    # task's Cartesian end-effector actuators) instead of the site's
+    # body frame (rotor thrust).
+    act_site_world: Tuple[bool, ...] = ()
+    # any body with gravcomp > 0 (MJCF body gravcomp attribute)
+    has_gravcomp: bool = False
+
     def __hash__(self):
         return hash((self.nq, self.nv, self.nu, self.nbody, self.njnt,
                      self.nsph, self.npair, self.body_parent, self.jnt_type,
@@ -184,6 +192,10 @@ class Model:
     act_kv: jax.Array         # (nu,)
     act_ctrlrange: jax.Array  # (nu, 2)
     act_forcerange: jax.Array  # (nu, 2)
+
+    # per-body gravity compensation fraction (MJCF gravcomp; the panda
+    # model sets 1 on every link, panda_modified.xml)
+    body_gravcomp: jax.Array  # (nbody,)
 
     # sites (named reference points for sensors/costs)
     site_pos: jax.Array       # (nsite, 3) in body frame
@@ -271,10 +283,10 @@ class ModelBuilder:
     def add_body(self, name: str, parent: int, pos=(0, 0, 0),
                  quat=(1, 0, 0, 0), mass: float = 0.0,
                  ipos=(0, 0, 0), iquat=(1, 0, 0, 0),
-                 inertia=(0, 0, 0)) -> int:
+                 inertia=(0, 0, 0), gravcomp: float = 0.0) -> int:
         self._bodies.append(dict(name=name, parent=parent, pos=pos, quat=quat,
                                  mass=mass, ipos=ipos, iquat=iquat,
-                                 inertia=inertia))
+                                 inertia=inertia, gravcomp=gravcomp))
         return len(self._bodies) - 1
 
     def add_joint(self, name: str, body: int, jtype: int, axis=(0, 0, 1),
@@ -298,15 +310,19 @@ class ModelBuilder:
         return len(self._acts) - 1
 
     def add_thrust(self, site: int, gear=(0.0, 0.0, 1.0, 0.0, 0.0, 0.0),
-                   ctrlrange=(0.0, 1.0), forcerange=(-1e9, 1e9)) -> int:
+                   ctrlrange=(0.0, 1.0), forcerange=(-1e9, 1e9),
+                   world_frame: bool = False) -> int:
         """Site-transmission actuator (MuJoCo <motor site=... gear="fx fy
-        fz tx ty tz">): applies ctrl * gear6 as a wrench in the site's
-        body frame at the site point (quadrotor rotors,
-        mjpc/tasks/quadrotor task.xml actuator block)."""
+        fz tx ty tz">): applies ctrl * gear6 as a wrench at the site
+        point, in the site's body frame (quadrotor rotors,
+        mjpc/tasks/quadrotor task.xml actuator block) or, with
+        `world_frame`, in the world frame (refsite="world" Cartesian
+        end-effector actuators, tasks/panda/panda_modified.xml)."""
         self._acts.append(dict(joint=-1, atype=ActuatorType.SITE_THRUST,
                                gear=1.0, kp=0.0, kv=0.0,
                                ctrlrange=ctrlrange, forcerange=forcerange,
-                               site=site, gear6=tuple(gear)))
+                               site=site, gear6=tuple(gear),
+                               world_frame=bool(world_frame)))
         return len(self._acts) - 1
 
     def add_sphere(self, body: int, pos=(0, 0, 0), radius: float = 0.02,
@@ -380,6 +396,10 @@ class ModelBuilder:
             act_type=tuple(a["atype"] for a in self._acts),
             act_jnt=tuple(a["joint"] for a in self._acts),
             act_site=tuple(a.get("site", -1) for a in self._acts),
+            act_site_world=tuple(bool(a.get("world_frame", False))
+                                 for a in self._acts),
+            has_gravcomp=any(b.get("gravcomp", 0.0) != 0.0
+                             for b in self._bodies),
             body_names=tuple(b["name"] for b in self._bodies),
             jnt_names=tuple(j["name"] for j in self._joints),
             site_names=tuple(s["name"] for s in self._sites),
@@ -433,6 +453,8 @@ class ModelBuilder:
             body_mass=arr([b["mass"] for b in self._bodies], (nbody,)),
             body_inertia=arr([b["inertia"] for b in self._bodies],
                              (nbody, 3)),
+            body_gravcomp=arr([b.get("gravcomp", 0.0)
+                               for b in self._bodies], (nbody,)),
             jnt_pos=arr([j["pos"] for j in self._joints],
                         (njnt, 3)),
             jnt_axis=arr([_normv(j["axis"]) for j in self._joints],

@@ -84,6 +84,9 @@ def _prepare(m: Model, state: State, ctrl: jax.Array,
     if s.fluid_density or s.fluid_viscosity:
         from .engine import fluid_force
         qfrc_passive = qfrc_passive + fluid_force(m, kin, vel)
+    if s.has_gravcomp:
+        from .engine import gravcomp_qfrc
+        qfrc_passive = qfrc_passive + gravcomp_qfrc(m, kin)
     qfrc_smooth = tau + qfrc_passive - bias
     if any(t == ActuatorType.SITE_THRUST for t in s.act_type):
         qfrc_smooth = qfrc_smooth + thrust_qfrc(m, kin, ctrl)

@@ -48,6 +48,7 @@ def _register_builtin():
     from ..physics.humanoid import build_humanoid
     from .acrobot import acrobot_model, acrobot_task
     from .cartpole import cartpole_model, cartpole_task
+    from .panda import panda_model, panda_task
     from .particle import particle_fixed_task, particle_model, particle_task
     from .quadrotor import quadrotor_model, quadrotor_task
     from .quadruped import quadruped_model, quadruped_task
@@ -60,6 +61,7 @@ def _register_builtin():
     register("Cartpole", cartpole_task, cartpole_model)
     register("Humanoid Cap Stand", stand_task, build_humanoid)
     register("Humanoid Cap Walk", walk_task, build_humanoid)
+    register("Panda", panda_task, panda_model)
     register("Particle", particle_task, particle_model)
     register("ParticleFixed", particle_fixed_task, particle_model)
     register("Quadrotor", quadrotor_task, quadrotor_model)
