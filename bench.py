@@ -9,6 +9,13 @@ The measured workload is the MPC-planner inner loop: batched lockstep
 humanoid rollouts (batch x horizon physics steps with contacts + the
 stand-task cost), which is what both the planners and the RL env spend
 their time on.
+
+TIMING DISCIPLINE (round-3 VERDICT weak #1): every measurement
+synchronizes by materializing a result on the host (utils/timing.fetch)
+— `jax.block_until_ready` is NOT trusted on the tunnel TPU backend.
+The headline is additionally cross-checked against a >=10-call
+wall-clock scan (`timed_scan`); if the two disagree by >20% the scan
+(strictly conservative) wins and the discrepancy is reported.
 """
 
 import json
@@ -24,6 +31,7 @@ from humanoid_mujoco_tpu.rollout import rollout_spline
 from humanoid_mujoco_tpu.tasks import stand_task
 from humanoid_mujoco_tpu.planners.policy import init_policy
 from humanoid_mujoco_tpu.ops.spline import SplineOrder
+from humanoid_mujoco_tpu.utils.timing import fetch, timed, timed_scan
 
 BATCH = 1024
 HORIZON = 100
@@ -49,18 +57,16 @@ def main():
         def one(s, v):
             return rollout_spline(m, task, s, pol.times, v,
                                   SplineOrder.ZERO, HORIZON).total_return
-        return jax.vmap(one)(sb, vb)
+        # reduce to a scalar so the host fetch is negligible
+        return jnp.sum(jax.vmap(one)(sb, vb))
 
-    # warmup/compile
-    jax.block_until_ready(run(sb, values_b))
-    # steady state: best of 3
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(sb, values_b))
-        best = min(best, time.perf_counter() - t0)
-
-    steps_per_s = BATCH * HORIZON / best
+    best = timed(run, sb, values_b, reps=3)
+    scan_avg = timed_scan(run, sb, values_b, reps=10, warmup=False)
+    # trust the conservative number when they disagree (dispatch games
+    # can make single-call "best" optimistic; the scan is wall-clock)
+    agree = abs(best - scan_avg) / max(scan_avg, 1e-12) < 0.20
+    t_solve = scan_avg if not agree else best
+    steps_per_s = BATCH * HORIZON / t_solve
 
     # compact BASELINE.md suite in the same JSON line (the driver
     # records one line; VERDICT r1 asked for more than one number).
@@ -68,7 +74,11 @@ def main():
     # wedge the driver: skip remaining configs past the budget.
     budget_s = float(os.environ.get("HMT_BENCH_BUDGET_S", "900"))
     t_start = time.perf_counter()
-    extra = {}
+    extra = {
+        "headline_best_ms": round(best * 1e3, 2),
+        "headline_scan10_ms": round(scan_avg * 1e3, 2),
+        "headline_timing_agrees": agree,
+    }
 
     def within_budget():
         return time.perf_counter() - t_start < budget_s
@@ -85,15 +95,11 @@ def main():
             def solve_rate(cfg_cls, plan_fn, n, name):
                 cfg = cfg_cls(nsample=n, nknots=3, horizon=17)
                 fj = jax.jit(
-                    lambda p, s, k: plan_fn(pm, task, cfg, p, s, k))
-                out = fj(pol, s0, jax.random.PRNGKey(0))
-                jax.block_until_ready(out[1].best_return)
-                bs = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(
-                        fj(pol, s0, jax.random.PRNGKey(0))[1].best_return)
-                    bs = min(bs, time.perf_counter() - t0)
+                    lambda p, s, k: plan_fn(pm, task, cfg, p, s, k)[
+                        1].best_return)
+                fetch(fj(pol, s0, jax.random.PRNGKey(0)))
+                bs = timed_scan(fj, pol, s0, jax.random.PRNGKey(0),
+                                reps=5, warmup=False)
                 extra[name] = round(1.0 / bs, 2)
                 extra[name + "_latency_ms"] = round(bs * 1e3, 2)
 
@@ -117,18 +123,38 @@ def main():
                 ecfg, base, jnp.asarray(0.5), k))(
                     jax.random.split(jax.random.PRNGKey(0), nenv))
             acts = jnp.zeros((nenv, 12))
-            stp = jax.jit(lambda e, a: batch_step(ecfg, e, a))
+
+            # scan-fused (how sac_train_step consumes the env: steps
+            # inside one jit region) — the honest training-throughput
+            # number; per-call dispatch is reported separately
+            @jax.jit
+            def roll10_scan(e):
+                def body(e, _):
+                    e, o, r, t_, tr = batch_step(ecfg, base, e, acts)
+                    return e, r
+                e, rs = jax.lax.scan(body, e, None, length=10)
+                return jnp.sum(e.phys.qpos) + jnp.sum(rs)
+
+            t = timed(roll10_scan, es, reps=3)
+            extra["rl_env4096_steps_per_s"] = round(nenv * 10 / t)
+
+            stp = jax.jit(lambda e, a: batch_step(ecfg, base, e, a))
 
             def roll10(e):
                 for _ in range(10):
                     e, o, r, t_, tr = stp(e, acts)
-                return e.phys.qpos
+                return jnp.sum(e.phys.qpos)
 
-            jax.block_until_ready(roll10(es))
-            t0 = time.perf_counter()
-            jax.block_until_ready(roll10(es))
-            extra["rl_env4096_steps_per_s"] = round(
-                nenv * 10 / (time.perf_counter() - t0))
+            t = timed(roll10, es, reps=3)
+            extra["rl_env4096_dispatch_steps_per_s"] = round(
+                nenv * 10 / t)
+        if within_budget():
+            # async deployment shape: plans/s + achieved control Hz
+            # (VERDICT r3 next #4; mjpc/agent.cc:318-329 analog)
+            from humanoid_mujoco_tpu.serving.realtime_eval import (
+                measure_async_rates)
+            rates = measure_async_rates(duration_s=3.0)
+            extra.update(rates)
     except Exception as e:   # extras must never break the headline line
         extra["error"] = f"{type(e).__name__}: {e}"
 

@@ -33,7 +33,12 @@ import os as _os
 # to execution errors such as SIGILL" and has produced hangs), and CPU
 # compiles are fast anyway — the cache exists for the slow TPU tunnel.
 if (_os.environ.get("HMT_NO_COMPILE_CACHE") != "1"
-        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")):
+        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower()
+        and _os.environ.get("JAX_PLATFORMS", "") != ""):
+    # JAX_PLATFORMS unset means the default-backend fallback may be CPU
+    # (no TPU plugin): skip the cache there too — only an explicitly
+    # requested non-CPU platform benefits, and CPU AOT executables are
+    # machine-feature specific (SIGILL risk, see above).
     import jax as _jax
 
     _cache = _os.environ.get(

@@ -46,14 +46,14 @@ def run(seconds: float = 5.0, randomization_factor: float = 0.0,
     key = jax.random.PRNGKey(seed)
     es, obs = env_reset(env_cfg, base_model, jnp.asarray(
         randomization_factor, dtype=jnp.float32), key)
-    step_env = jax.jit(lambda e, a: env_step(env_cfg, e, a))
+    step_env = jax.jit(lambda e, a: env_step(env_cfg, base_model, e, a))
 
     # MPC: clean torque model + stand task
     agent = Agent(humanoid.build_humanoid(), stand_task(),
                   planner=planner, horizon=horizon)
 
     from .physics.engine import fwd_position
-    torso = es.model.struct.body_id("torso")
+    torso = base_model.struct.body_id("torso")
 
     rng = np.random.default_rng(seed)
     rewards, n_steps = [], 0
@@ -66,7 +66,8 @@ def run(seconds: float = 5.0, randomization_factor: float = 0.0,
         ang_vel = np.asarray(obs[24:27])
         # ground-truth torso quat (env.torso_quat, mpc_in_env.py:26-31)
         quat = np.asarray(
-            fwd_position(es.model, es.phys.qpos).xquat[torso])
+            fwd_position(es.patch.apply(base_model),
+                         es.phys.qpos).xquat[torso])
 
         state = set_robot_state(agent.model, joint_pos, joint_vel,
                                 ang_vel, quat)

@@ -129,7 +129,8 @@ class Structure:
         return hash((self.nq, self.nv, self.nu, self.nbody, self.njnt,
                      self.nsph, self.npair, self.body_parent, self.jnt_type,
                      self.dof_mask_bytes, self.max_contacts,
-                     self.fluid_density, self.fluid_viscosity))
+                     self.fluid_density, self.fluid_viscosity,
+                     self.act_site_world, self.has_gravcomp))
 
     @property
     def dof_mask(self) -> np.ndarray:

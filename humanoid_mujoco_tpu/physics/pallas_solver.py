@@ -316,18 +316,23 @@ def _make_dispatch(niter: int, ls_iter: int):
 
 
 def solve_constraints_euler(M, qf, qv, J, pos, k, b, d, hdamp, dt,
-                            niter: int = 8, ls_iter: int = 16):
+                            niter: int = 8, ls_iter: int = 16,
+                            force_jax: bool = False):
     """Contact/limit Newton solve + implicit-damping Euler velocity update.
 
     Dispatches to the fused TPU kernel under vmap (rollout batches, RL
     env batches); unbatched calls and non-TPU backends use the pure-JAX
     path. Returns (qacc, qvel_new, efc_force, qfrc_constraint).
 
-    Off-TPU (or f64, or HMT_NO_PALLAS=1) the plain JAX function is
-    returned directly — no custom_vmap wrapper — so every jax transform
-    (incl. jvp) keeps working there.
+    Off-TPU (or f64, or HMT_NO_PALLAS=1, or `force_jax`) the plain JAX
+    function is returned directly — no custom_vmap wrapper — so every
+    jax transform (incl. jvp) keeps working there. `force_jax` is for
+    callers that jit onto a NON-default device (e.g. the realtime-eval
+    robot-proxy sim pinned to host CPU while the default backend is
+    TPU): the backend gate can't see the jit target device, so they must
+    opt out of the kernel explicitly.
     """
-    if not enabled() or M.dtype != jnp.float32:
+    if force_jax or not enabled() or M.dtype != jnp.float32:
         return _jax_single(M, qf, qv, J, pos, k, b, d, hdamp, dt,
                            niter=niter, ls_iter=ls_iter)
     return _make_dispatch(niter, ls_iter)(M, qf, qv, J, pos, k, b, d,

@@ -203,7 +203,8 @@ def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt
 
 def step(m: Model, state: State, ctrl: jax.Array,
          xfrc: Optional[jax.Array] = None,
-         solver_iters: int = 8, ift: bool = False) -> Tuple[State, StepInfo]:
+         solver_iters: int = 8, ift: bool = False,
+         use_pallas: Optional[bool] = None) -> Tuple[State, StepInfo]:
     """Semi-implicit Euler with implicit joint damping (mj_Euler analog).
 
     The constraint Newton solve and the implicit-damping velocity update
@@ -231,7 +232,8 @@ def step(m: Model, state: State, ctrl: jax.Array,
             _prepare(m, state, ctrl, xfrc)
         qacc, qvel_new, efc_f, qfrc_constraint = solve_constraints_euler(
             M, qfrc_smooth, qvel, rows.J, rows.pos, rows.k, rows.b,
-            rows.d, h * m.dof_damping, h, niter=solver_iters)
+            rows.d, h * m.dof_damping, h, niter=solver_iters,
+            force_jax=(use_pallas is False))
         qfrc_total = qfrc_smooth + qfrc_constraint
         cf = _contact_forces(m, efc_f, contacts.dist.shape[0], sel, dtype)
         diverged = jnp.logical_or(

@@ -54,7 +54,7 @@ def evaluate(ckpt: str, rand_factors=(0.0, 0.25, 0.5, 0.75, 1.0),
         es, obs = jax.jit(lambda k: batch_reset(
             cfg, base, jnp.asarray(rf), k))(
                 jax.random.split(jax.random.PRNGKey(0), n_episodes))
-        stp = jax.jit(lambda e, a: batch_step(cfg, e, a))
+        stp = jax.jit(lambda e, a: batch_step(cfg, base, e, a))
         total_r = np.zeros(n_episodes)
         alive = np.ones(n_episodes, bool)
         lengths = np.zeros(n_episodes)

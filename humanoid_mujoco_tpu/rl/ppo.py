@@ -116,7 +116,7 @@ def ppo_train_step(cfg: PPOConfig, env_cfg: EnvConfig, base_model: Model,
         es, obs = carry
         a, logp = act(state.params, obs, key)
         v = value.apply(state.params["v"], obs)
-        es, obs2, r, term, trunc = batch_step(env_cfg, es,
+        es, obs2, r, term, trunc = batch_step(env_cfg, base_model, es,
                                               jnp.clip(a, -1.0, 1.0))
         es, obs2, done = jax.vmap(
             lambda e, o, rr, t, tr: env_auto_reset(

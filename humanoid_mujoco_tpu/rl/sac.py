@@ -133,7 +133,7 @@ def sac_train_step(cfg: SACConfig, env_cfg: EnvConfig, base_model: Model,
         # --- one env step for all envs ---
         mean, log_std = policy.apply(p["pi"], obs)
         a, _ = sample_squashed(mean, log_std, k_act)
-        es, obs2, r, term, trunc = batch_step(env_cfg, es, a)
+        es, obs2, r, term, trunc = batch_step(env_cfg, base_model, es, a)
         es, obs2_reset, done = jax.vmap(
             lambda e, o, rr, t, tr: env_auto_reset(
                 env_cfg, base_model, e, o, rr, t, tr)

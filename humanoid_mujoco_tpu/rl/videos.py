@@ -36,7 +36,7 @@ def record_episode(ckpt: str | None, seconds: float = 5.0,
     es, obs = jax.jit(lambda k: env_reset(
         cfg, base, jnp.asarray(randomization_factor, jnp.float32), k))(
             jax.random.PRNGKey(seed))
-    stp = jax.jit(lambda e, a: env_step(cfg, e, a))
+    stp = jax.jit(lambda e, a: env_step(cfg, base, e, a))
     traj = [np.asarray(es.phys.qpos)]
     n_steps = int(seconds * 500)       # 500 Hz control
     for _ in range(n_steps):
@@ -44,7 +44,7 @@ def record_episode(ckpt: str | None, seconds: float = 5.0,
         traj.append(np.asarray(es.phys.qpos))
         if bool(term) or bool(trunc):
             break
-    return es.model, np.stack(traj)
+    return es.patch.apply(base), np.stack(traj)
 
 
 def generate_policy_videos(ckpt: str | None, out: str, n_videos: int = 9,

@@ -53,7 +53,10 @@ def run(seconds: float = 5.0, control_hz: float = 100.0,
     @functools.partial(jax.jit, device=cpu)
     def advance(s, u):
         def body(s, _):
-            s2, _ = step(m, s, u)
+            # pure-JAX solver path: this jit targets the host CPU while
+            # the default backend is the TPU, so the Pallas kernel gate
+            # must be overridden explicitly
+            s2, _ = step(m, s, u, use_pallas=False)
             return s2, None
         s, _ = jax.lax.scan(body, s, None, length=sub)
         res = task.residual(m, s, _light_info(m, s),
@@ -74,12 +77,15 @@ def run(seconds: float = 5.0, control_hz: float = 100.0,
     n_ctrl = int(seconds * control_hz)
     period = 1.0 / control_hz
     costs = []
+    act_lat = []    # per-call get_action latency (the robot-facing path)
     t_start = time.monotonic()
     try:
         for i in range(n_ctrl):
             t = time.monotonic() - t_start
+            t_q = time.perf_counter()
             u = aa.get_action(np.asarray(s.qpos), np.asarray(s.qvel),
                               float(s.time))
+            act_lat.append(time.perf_counter() - t_q)
             s, c = advance(s, u)
             aa.set_state(np.asarray(s.qpos), np.asarray(s.qvel),
                          float(s.time))
@@ -98,6 +104,9 @@ def run(seconds: float = 5.0, control_hz: float = 100.0,
     out = dict(achieved_control_hz=achieved_hz,
                plan_iterations_per_s=plan_rate,
                plan_iterations=iters,
+               action_latency_ms_mean=float(np.mean(act_lat) * 1e3),
+               action_latency_ms_p99=float(
+                   np.percentile(act_lat, 99) * 1e3),
                mean_cost=float(np.mean(costs)),
                final_cost=float(np.mean(costs[-int(control_hz):])),
                wall_s=wall)
@@ -107,6 +116,24 @@ def run(seconds: float = 5.0, control_hz: float = 100.0,
               f"mean cost/step {out['mean_cost']:.4f}, "
               f"last-second cost {out['final_cost']:.4f}", flush=True)
     return out
+
+
+def measure_async_rates(duration_s: float = 3.0,
+                        control_hz: float = 100.0) -> dict:
+    """Compact async-deployment numbers for bench.py extras (round-3
+    VERDICT next #4): plans/s, achieved control Hz, and get_action
+    latency while the plan loop replans continuously."""
+    out = run(seconds=duration_s, control_hz=control_hz,
+              planner="sampling", nsample=128, realtime=True,
+              verbose=False)
+    return {
+        "async_control_hz": round(out["achieved_control_hz"], 1),
+        "async_plans_per_s": round(out["plan_iterations_per_s"], 2),
+        "async_action_latency_ms": round(
+            out["action_latency_ms_mean"], 3),
+        "async_action_latency_p99_ms": round(
+            out["action_latency_ms_p99"], 3),
+    }
 
 
 def main(argv=None):

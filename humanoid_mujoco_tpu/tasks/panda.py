@@ -230,11 +230,11 @@ def _panda_transition(task: Task, m: Model, state: State,
 
     tick = jnp.round(state.time * 1e3).astype(jnp.int32)
     key = jax.random.fold_in(jax.random.PRNGKey(7), tick)
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     dtype = task.mocap_pos.dtype
     xy = jax.random.uniform(k1, (2,), dtype=dtype, minval=-0.5, maxval=0.5)
-    z = jax.random.uniform(k1, (), dtype=dtype, minval=0.03, maxval=0.4)
-    quat = jax.random.normal(k2, (4,), dtype=dtype)
+    z = jax.random.uniform(k2, (), dtype=dtype, minval=0.03, maxval=1.0)
+    quat = jax.random.normal(k3, (4,), dtype=dtype)
     quat = quat / jnp.linalg.norm(quat)
     new_pos = jnp.concatenate([xy, z[None]])
     pos = jnp.where(solved, new_pos, task.mocap_pos[0])

@@ -68,7 +68,7 @@ class TestEnv:
             cfg, base_model, jnp.asarray(0.5), k))(jax.random.PRNGKey(0))
         assert obs.shape == (30,)
         es, obs, r, term, trunc = jax.jit(
-            lambda e, a: env_step(cfg, e, a))(es, jnp.zeros(12))
+            lambda e, a: env_step(cfg, base_model, e, a))(es, jnp.zeros(12))
         assert obs.shape == (30,)
         assert np.isfinite(float(r))
 
@@ -77,20 +77,20 @@ class TestEnv:
         keys = jax.random.split(jax.random.PRNGKey(1), 4)
         es, obs = jax.jit(lambda k: batch_reset(
             cfg, base_model, jnp.asarray(1.0), k))(keys)
-        masses = np.array(es.model.body_mass)
+        masses = np.array(es.patch.body_mass)
         assert masses.shape[0] == 4
         assert not np.allclose(masses[0], masses[1])
-        hf = np.array(es.model.hfield_data)
+        hf = np.array(es.patch.hfield_data)
         assert hf.max() > 0.0  # bumpy floor at rf=1
 
     def test_zero_randomization_is_clean(self, base_model):
         cfg = EnvConfig(standup=False)
         es, obs = jax.jit(lambda k: env_reset(
             cfg, base_model, jnp.asarray(0.0), k))(jax.random.PRNGKey(2))
-        np.testing.assert_allclose(np.array(es.model.body_mass),
+        np.testing.assert_allclose(np.array(es.patch.body_mass),
                                    np.array(base_model.body_mass),
                                    atol=1e-12)
-        assert float(es.model.hfield_data.max()) == 0.0
+        assert float(es.patch.hfield_data.max()) == 0.0
         assert int(es.d_action) == 0
 
     def test_delay_buffers(self, base_model):
@@ -100,7 +100,7 @@ class TestEnv:
         import dataclasses
         es = dataclasses.replace(es, d_action=jnp.asarray(3, jnp.int32))
         # action applied now should only reach ctrl after 3 steps
-        step_j = jax.jit(lambda e, a: env_step(cfg, e, a))
+        step_j = jax.jit(lambda e, a: env_step(cfg, base_model, e, a))
         a = jnp.full((12,), 0.5)
         es1, *_ = step_j(es, a)
         # after first step the delayed action is the zero-filled buffer
@@ -118,7 +118,8 @@ class TestEnv:
         def loop(es, obs, n):
             def body(carry, _):
                 es, obs = carry
-                es, obs, r, term, trunc = env_step(cfg, es, jnp.zeros(12))
+                es, obs, r, term, trunc = env_step(cfg, base_model, es,
+                                                   jnp.zeros(12))
                 es, obs, done = env_auto_reset(cfg, base_model, es, obs,
                                                r, term, trunc)
                 return (es, obs), done
@@ -170,7 +171,7 @@ class TestCurriculumPlumbing:
             jnp.asarray(True), jnp.asarray(False))
         assert bool(done)
         assert float(es2.rf) == pytest.approx(0.7)
-        assert not np.allclose(np.asarray(es2.model.body_mass),
+        assert not np.allclose(np.asarray(es2.patch.body_mass),
                                np.asarray(base_model.body_mass))
 
 
