@@ -1,11 +1,26 @@
 """Branch-free collision detection over a fixed contact capacity.
 
-Replaces MuJoCo's mesh/hfield collision pipeline (which the reference
-relies on for foot-ground and self contacts, world.xml:19 condim 6 geoms)
-with a TPU-native design: every geom is a SPHERE CLOUD fixed at build
-time, so narrowphase is closed-form, every contact has a static slot
-(slot k = sphere k vs floor, slot nsph+p = pair p), and activity is a
-mask — shapes never depend on data.
+Replaces MuJoCo's geom collision pipeline (which the reference relies on
+for foot-ground, grasp and self contacts — world.xml:19 condim-6 geoms,
+capsule humanoid limbs in mjpc/tasks/humanoid/humanoid.xml.patch, box
+objects/tables in mjpc/tasks/bimanual/handover/task.xml) with a
+TPU-native design: geoms are SPHERES, CAPSULES and BOXES fixed at build
+time, every candidate contact has a STATIC slot, and activity is a mask
+— shapes never depend on data.
+
+Canonical slot order (Structure.slot_body_a/b is built to match):
+  [0, nsph)        sphere-vs-floor
+  [., +2*ncap)     capsule-vs-floor (2 endpoint spheres each — the
+                   capsule-plane 2-contact convention)
+  [., +8*nbox)     box-vs-floor (all 8 corners; inactive ones masked)
+  [., +npair)      sphere-sphere pairs
+  [., +|sc|)       sphere-capsule pairs (exact point-segment)
+  [., +|cc|)       capsule-capsule pairs (exact segment-segment)
+  [., +|sb|)       sphere-box pairs (exact point-box, inside handled)
+  [., +|cb|)       capsule-box pairs (segment sampled at 5 points,
+                   deepest sample wins — documented approximation)
+  [., +16*|bb|)    box-box pairs (8 verts of A in B + 8 of B in A;
+                   face-dominant contacts exact, edge-edge approximated)
 
 Floor is a bilinear heightfield z(x, y) (Perlin-randomizable like
 simulation/cpu_env.py:256-285) over a (nhrow, nhcol) grid spanning
@@ -19,6 +34,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from . import math as pm
 from .model import Model
 
 
@@ -83,30 +99,172 @@ def sphere_world_centers(m: Model, xpos: jax.Array, xmat: jax.Array
     return xpos[body] + jnp.einsum("nij,nj->ni", xmat[body], m.sph_pos)
 
 
+def capsule_world_segments(m: Model, xpos: jax.Array, xmat: jax.Array):
+    """World segment endpoints of all capsules: ((ncap,3), (ncap,3))."""
+    s = m.struct
+    if s.ncap == 0:
+        z = jnp.zeros((0, 3), dtype=xpos.dtype)
+        return z, z
+    body = jnp.asarray(s.cap_body, dtype=jnp.int32)
+    R = xmat[body]
+    center = xpos[body] + jnp.einsum("nij,nj->ni", R, m.cap_pos)
+    axis = jnp.einsum("nij,nj->ni", R, m.cap_axis)
+    off = m.cap_halflen[:, None] * axis
+    return center - off, center + off
+
+
+def box_world_frames(m: Model, xpos: jax.Array, xmat: jax.Array):
+    """World box poses: centers (nbox,3) and rotations (nbox,3,3)."""
+    s = m.struct
+    if s.nbox == 0:
+        return (jnp.zeros((0, 3), dtype=xpos.dtype),
+                jnp.zeros((0, 3, 3), dtype=xpos.dtype))
+    body = jnp.asarray(s.box_body, dtype=jnp.int32)
+    R = xmat[body]
+    c = xpos[body] + jnp.einsum("nij,nj->ni", R, m.box_pos)
+    Rb = jnp.matmul(R, pm.quat_to_mat(m.box_quat))
+    return c, Rb
+
+
+# 8 box-corner sign combinations, fixed order (numpy: no backend init
+# at import time)
+import numpy as _np
+
+_CORNER_SIGNS = _np.asarray(
+    [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+     for sz in (-1.0, 1.0)])
+
+
+def _seg_seg_closest(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1] and [p2,q2] (Ericson's
+    clamped closed form, branch-free). Shapes (..., 3)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, axis=-1)
+    e = jnp.sum(d2 * d2, axis=-1)
+    f = jnp.sum(d2 * r, axis=-1)
+    c = jnp.sum(d1 * r, axis=-1)
+    b = jnp.sum(d1 * d2, axis=-1)
+    denom = a * e - b * b
+    s0 = jnp.where(denom > 1e-12,
+                   jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12),
+                            0.0, 1.0),
+                   0.0)
+    t0 = (b * s0 + f) / jnp.maximum(e, 1e-12)
+    t = jnp.clip(t0, 0.0, 1.0)
+    s = jnp.where(t == t0, s0,
+                  jnp.clip((b * t - c) / jnp.maximum(a, 1e-12), 0.0, 1.0))
+    return p1 + s[..., None] * d1, p2 + t[..., None] * d2
+
+
+def _point_box_local(local, size):
+    """Signed distance of point(s) to a box surface in the box frame.
+
+    local: (..., 3) point in box frame; size: (..., 3) half-extents.
+    Returns (dist, grad, surf): signed distance (negative inside),
+    outward gradient (unit, box frame), closest surface point (box
+    frame). Branch-free inside/outside select.
+    """
+    q = jnp.clip(local, -size, size)
+    delta = local - q
+    d_out = jnp.linalg.norm(delta, axis=-1)
+    face_gap = size - jnp.abs(local)                  # (..., 3)
+    min_gap = jnp.min(face_gap, axis=-1)
+    inside = min_gap > 0.0
+    ax = jnp.argmin(face_gap, axis=-1)
+    one_hot = jax.nn.one_hot(ax, 3, dtype=local.dtype)
+    sgn = jnp.sum(jnp.sign(local) * one_hot, axis=-1)
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    grad_in = sgn[..., None] * one_hot
+    grad_out = delta / jnp.maximum(d_out, 1e-9)[..., None]
+    grad = jnp.where(inside[..., None], grad_in, grad_out)
+    dist = jnp.where(inside, -min_gap, d_out)
+    surf = jnp.where(inside[..., None],
+                     local + grad_in * min_gap[..., None], q)
+    return dist, grad, surf
+
+
+def _point_box_world(p, box_c, box_R, size):
+    """_point_box_local lifted to world coordinates; p (...,3), box pose
+    broadcastable. Returns (dist, grad_world, surf_world)."""
+    local = jnp.einsum("...ji,...j->...i", box_R, p - box_c)
+    dist, grad_l, surf_l = _point_box_local(local, size)
+    grad_w = jnp.einsum("...ij,...j->...i", box_R, grad_l)
+    surf_w = box_c + jnp.einsum("...ij,...j->...i", box_R, surf_l)
+    return dist, grad_w, surf_w
+
+
+def _spheres_vs_floor(m: Model, centers, radii, fric3, dtype):
+    """Floor narrowphase for point-spheres: centers (P,3), radii (P,),
+    fric3 = (fric, tor, roll) each (P,). Returns the 6 slot arrays."""
+    if centers.shape[0] and m.struct.has_floor:
+        h = hfield_height(m, centers[:, :2])
+        n = hfield_normal(m, centers[:, :2])
+        dist = centers[:, 2] - radii - h
+        pos = centers - n * (radii + 0.5 * dist)[:, None]
+        fr = jnp.maximum(fric3[0], m.floor_friction)
+        tor = jnp.maximum(fric3[1], m.floor_friction_tor)
+        roll = jnp.maximum(fric3[2], m.floor_friction_roll)
+        return pos, n, dist, fr, tor, roll
+    P = centers.shape[0]
+    return (centers,
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype=dtype),
+                             (P, 3)),
+            jnp.full((P,), 1e9, dtype=dtype), fric3[0], fric3[1], fric3[2])
+
+
 def collide(m: Model, xpos: jax.Array, xmat: jax.Array) -> Contacts:
     s = m.struct
     dtype = xpos.dtype
     centers = sphere_world_centers(m, xpos, xmat)
+    cap_e0, cap_e1 = capsule_world_segments(m, xpos, xmat)
+    box_c, box_R = box_world_frames(m, xpos, xmat)
 
-    # --- floor contacts: one slot per sphere ---
-    if s.nsph and s.has_floor:
-        h = hfield_height(m, centers[:, :2])
-        n_floor = hfield_normal(m, centers[:, :2])
-        dist_f = centers[:, 2] - m.sph_radius - h
-        pos_f = centers - n_floor * (m.sph_radius + 0.5 * dist_f)[:, None]
-        fric_f = jnp.maximum(m.sph_friction, m.floor_friction)
-        tor_f = jnp.maximum(m.sph_friction_tor, m.floor_friction_tor)
-        roll_f = jnp.maximum(m.sph_friction_roll, m.floor_friction_roll)
-    else:
-        dist_f = jnp.full((s.nsph,), 1e9, dtype=dtype)
-        n_floor = jnp.broadcast_to(
-            jnp.asarray([0.0, 0.0, 1.0], dtype=dtype), (s.nsph, 3))
-        pos_f = centers
-        fric_f = m.sph_friction
-        tor_f = m.sph_friction_tor
-        roll_f = m.sph_friction_roll
+    groups = []   # list of (pos, normal, dist, fric, tor, roll)
 
-    # --- self-collision pairs ---
+    def emit(pos, normal, dist, fr, tor, roll):
+        groups.append((pos, normal, dist,
+                       jnp.broadcast_to(fr, dist.shape),
+                       jnp.broadcast_to(tor, dist.shape),
+                       jnp.broadcast_to(roll, dist.shape)))
+
+    # --- geom-vs-floor groups ---
+    if s.nsph:
+        emit(*_spheres_vs_floor(
+            m, centers, m.sph_radius,
+            (m.sph_friction, m.sph_friction_tor, m.sph_friction_roll),
+            dtype))
+    if s.ncap:
+        # 2 endpoint-sphere slots per capsule (capsule-plane convention)
+        pts = jnp.stack([cap_e0, cap_e1], axis=1).reshape(-1, 3)
+        rad = jnp.repeat(m.cap_radius, 2)
+        fr = jnp.repeat(m.cap_friction, 2)
+        tor = jnp.repeat(m.cap_friction_tor, 2)
+        roll = jnp.repeat(m.cap_friction_roll, 2)
+        p, n, d, f1, f2, f3 = _spheres_vs_floor(m, pts, rad,
+                                                (fr, tor, roll), dtype)
+        gate = jnp.repeat(jnp.asarray(s.cap_floor, dtype=bool), 2)
+        d = jnp.where(gate, d, 1e9)
+        emit(p, n, d, f1, f2, f3)
+    if s.nbox:
+        # 8 corner-point slots per box
+        signs = jnp.asarray(_CORNER_SIGNS, dtype=dtype)       # (8, 3)
+        corners_l = m.box_size[:, None, :] * signs[None, :, :]  # (nbox,8,3)
+        corners = box_c[:, None, :] + jnp.einsum(
+            "bij,bkj->bki", box_R, corners_l)
+        pts = corners.reshape(-1, 3)
+        zero = jnp.zeros((s.nbox * 8,), dtype=dtype)
+        fr = jnp.repeat(m.box_friction, 8)
+        tor = jnp.repeat(m.box_friction_tor, 8)
+        roll = jnp.repeat(m.box_friction_roll, 8)
+        p, n, d, f1, f2, f3 = _spheres_vs_floor(m, pts, zero,
+                                                (fr, tor, roll), dtype)
+        gate = jnp.repeat(jnp.asarray(s.box_floor, dtype=bool), 8)
+        d = jnp.where(gate, d, 1e9)
+        emit(p, n, d, f1, f2, f3)
+
+    # --- sphere-sphere pairs ---
     if s.npair:
         ia = jnp.asarray(s.pair_a, dtype=jnp.int32)
         ib = jnp.asarray(s.pair_b, dtype=jnp.int32)
@@ -114,23 +272,136 @@ def collide(m: Model, xpos: jax.Array, xmat: jax.Array) -> Contacts:
         ra, rb = m.sph_radius[ia], m.sph_radius[ib]
         delta = cb - ca
         dnorm = jnp.linalg.norm(delta, axis=-1)
-        n_pair = delta / jnp.maximum(dnorm, 1e-9)[:, None]
-        dist_p = dnorm - (ra + rb)
-        pos_p = ca + n_pair * (ra + 0.5 * dist_p)[:, None]
-        fric_p = jnp.maximum(m.sph_friction[ia], m.sph_friction[ib])
-        tor_p = jnp.maximum(m.sph_friction_tor[ia], m.sph_friction_tor[ib])
-        roll_p = jnp.maximum(m.sph_friction_roll[ia],
-                             m.sph_friction_roll[ib])
-        pos = jnp.concatenate([pos_f, pos_p], axis=0)
-        normal = jnp.concatenate([n_floor, n_pair], axis=0)
-        dist = jnp.concatenate([dist_f, dist_p], axis=0)
-        fric = jnp.concatenate([fric_f, fric_p], axis=0)
-        tor = jnp.concatenate([tor_f, tor_p], axis=0)
-        roll = jnp.concatenate([roll_f, roll_p], axis=0)
-    else:
-        pos, normal, dist, fric = pos_f, n_floor, dist_f, fric_f
-        tor, roll = tor_f, roll_f
+        n = delta / jnp.maximum(dnorm, 1e-9)[:, None]
+        dist = dnorm - (ra + rb)
+        pos = ca + n * (ra + 0.5 * dist)[:, None]
+        emit(pos, n, dist,
+             jnp.maximum(m.sph_friction[ia], m.sph_friction[ib]),
+             jnp.maximum(m.sph_friction_tor[ia], m.sph_friction_tor[ib]),
+             jnp.maximum(m.sph_friction_roll[ia],
+                         m.sph_friction_roll[ib]))
 
+    # --- sphere-capsule pairs: exact point-segment ---
+    if s.pair_sc:
+        ia = jnp.asarray([p[0] for p in s.pair_sc], dtype=jnp.int32)
+        ic = jnp.asarray([p[1] for p in s.pair_sc], dtype=jnp.int32)
+        p0, p1 = cap_e0[ic], cap_e1[ic]
+        ca = centers[ia]
+        d = p1 - p0
+        t = jnp.clip(jnp.sum((ca - p0) * d, axis=-1)
+                     / jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12),
+                     0.0, 1.0)
+        cb = p0 + t[:, None] * d
+        ra, rb = m.sph_radius[ia], m.cap_radius[ic]
+        delta = cb - ca
+        dnorm = jnp.linalg.norm(delta, axis=-1)
+        n = delta / jnp.maximum(dnorm, 1e-9)[:, None]
+        dist = dnorm - (ra + rb)
+        pos = ca + n * (ra + 0.5 * dist)[:, None]
+        emit(pos, n, dist,
+             jnp.maximum(m.sph_friction[ia], m.cap_friction[ic]),
+             jnp.maximum(m.sph_friction_tor[ia], m.cap_friction_tor[ic]),
+             jnp.maximum(m.sph_friction_roll[ia],
+                         m.cap_friction_roll[ic]))
+
+    # --- capsule-capsule pairs: exact segment-segment ---
+    if s.pair_cc:
+        ia = jnp.asarray([p[0] for p in s.pair_cc], dtype=jnp.int32)
+        ib = jnp.asarray([p[1] for p in s.pair_cc], dtype=jnp.int32)
+        pa, pb = _seg_seg_closest(cap_e0[ia], cap_e1[ia],
+                                  cap_e0[ib], cap_e1[ib])
+        ra, rb = m.cap_radius[ia], m.cap_radius[ib]
+        delta = pb - pa
+        dnorm = jnp.linalg.norm(delta, axis=-1)
+        n = delta / jnp.maximum(dnorm, 1e-9)[:, None]
+        dist = dnorm - (ra + rb)
+        pos = pa + n * (ra + 0.5 * dist)[:, None]
+        emit(pos, n, dist,
+             jnp.maximum(m.cap_friction[ia], m.cap_friction[ib]),
+             jnp.maximum(m.cap_friction_tor[ia], m.cap_friction_tor[ib]),
+             jnp.maximum(m.cap_friction_roll[ia],
+                         m.cap_friction_roll[ib]))
+
+    # --- sphere-box pairs: exact point-box (inside handled) ---
+    if s.pair_sb:
+        ia = jnp.asarray([p[0] for p in s.pair_sb], dtype=jnp.int32)
+        ib = jnp.asarray([p[1] for p in s.pair_sb], dtype=jnp.int32)
+        p = centers[ia]
+        dc, grad, surf = _point_box_world(p, box_c[ib], box_R[ib],
+                                          m.box_size[ib])
+        ra = m.sph_radius[ia]
+        n = -grad                     # pushes box (body b) off the sphere
+        dist = dc - ra
+        pos = p + n * (ra + 0.5 * dist)[:, None]
+        emit(pos, n, dist,
+             jnp.maximum(m.sph_friction[ia], m.box_friction[ib]),
+             jnp.maximum(m.sph_friction_tor[ia], m.box_friction_tor[ib]),
+             jnp.maximum(m.sph_friction_roll[ia],
+                         m.box_friction_roll[ib]))
+
+    # --- capsule-box pairs: segment sampled at 5 points, deepest wins ---
+    if s.pair_cb:
+        ia = jnp.asarray([p[0] for p in s.pair_cb], dtype=jnp.int32)
+        ib = jnp.asarray([p[1] for p in s.pair_cb], dtype=jnp.int32)
+        ts = jnp.linspace(0.0, 1.0, 5, dtype=dtype)
+        p0, p1 = cap_e0[ia], cap_e1[ia]
+        samples = p0[:, None, :] + ts[None, :, None] * (p1 - p0)[:, None, :]
+        dc, grad, surf = _point_box_world(
+            samples, box_c[ib][:, None, :], box_R[ib][:, None, :, :],
+            m.box_size[ib][:, None, :])
+        k = jnp.argmin(dc, axis=1)
+        dcb = jnp.take_along_axis(dc, k[:, None], axis=1)[:, 0]
+        gradb = jnp.take_along_axis(grad, k[:, None, None], axis=1)[:, 0]
+        pstar = jnp.take_along_axis(samples, k[:, None, None],
+                                    axis=1)[:, 0]
+        ra = m.cap_radius[ia]
+        n = -gradb
+        dist = dcb - ra
+        pos = pstar + n * (ra + 0.5 * dist)[:, None]
+        emit(pos, n, dist,
+             jnp.maximum(m.cap_friction[ia], m.box_friction[ib]),
+             jnp.maximum(m.cap_friction_tor[ia], m.box_friction_tor[ib]),
+             jnp.maximum(m.cap_friction_roll[ia],
+                         m.box_friction_roll[ib]))
+
+    # --- box-box pairs: 8 verts of B in A, then 8 verts of A in B ---
+    if s.pair_bb:
+        ia = jnp.asarray([p[0] for p in s.pair_bb], dtype=jnp.int32)
+        ib = jnp.asarray([p[1] for p in s.pair_bb], dtype=jnp.int32)
+        signs = jnp.asarray(_CORNER_SIGNS, dtype=dtype)
+
+        def corners_of(idx):
+            cl = m.box_size[idx][:, None, :] * signs[None, :, :]
+            return box_c[idx][:, None, :] + jnp.einsum(
+                "bij,bkj->bki", box_R[idx], cl)          # (P, 8, 3)
+
+        fr = jnp.maximum(m.box_friction[ia], m.box_friction[ib])
+        tor = jnp.maximum(m.box_friction_tor[ia], m.box_friction_tor[ib])
+        roll = jnp.maximum(m.box_friction_roll[ia],
+                           m.box_friction_roll[ib])
+        # verts of B against box A: push B off A along +grad(d_A)
+        vb = corners_of(ib)
+        dA, gA, _ = _point_box_world(vb, box_c[ia][:, None, :],
+                                     box_R[ia][:, None, :, :],
+                                     m.box_size[ia][:, None, :])
+        # verts of A against box B: push B off A along -grad(d_B)
+        va = corners_of(ia)
+        dB, gB, _ = _point_box_world(va, box_c[ib][:, None, :],
+                                     box_R[ib][:, None, :, :],
+                                     m.box_size[ib][:, None, :])
+        pos = jnp.concatenate([vb, va], axis=1).reshape(-1, 3)
+        n = jnp.concatenate([gA, -gB], axis=1).reshape(-1, 3)
+        dist = jnp.concatenate([dA, dB], axis=1).reshape(-1)
+        emit(pos, n, dist, jnp.repeat(fr, 16), jnp.repeat(tor, 16),
+             jnp.repeat(roll, 16))
+
+    if not groups:
+        z3 = jnp.zeros((0, 3), dtype=dtype)
+        z = jnp.zeros((0,), dtype=dtype)
+        return Contacts(pos=z3, normal=z3, dist=z, friction=z,
+                        friction_tor=z, friction_roll=z)
+    pos, normal, dist, fric, tor, roll = (
+        jnp.concatenate([g[i] for g in groups], axis=0) for i in range(6))
     return Contacts(pos=pos, normal=normal, dist=dist, friction=fric,
                     friction_tor=tor, friction_roll=roll)
 

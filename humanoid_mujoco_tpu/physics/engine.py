@@ -208,6 +208,13 @@ def fwd_velocity(m: Model, kin: Kin, qvel: jax.Array) -> Vel:
     return Vel(cvel=cvel, cdof_dot=cdof_dot, com_vel=com_vel)
 
 
+def body_com_velocities(kin: Kin, vel: Vel) -> jax.Array:
+    """Per-body COM linear velocities (nbody, 3) — the framelinvel /
+    subtreelinvel sensor family's raw ingredient."""
+    return vel.cvel[:, 3:] + jnp.cross(vel.cvel[:, :3],
+                                       kin.xipos - kin.anchor)
+
+
 def crb_mass_matrix(m: Model, kin: Kin) -> jax.Array:
     """Joint-space inertia M (nv, nv) via masked J^T I J over bodies.
 

@@ -125,12 +125,56 @@ class Structure:
     # any body with gravcomp > 0 (MJCF body gravcomp attribute)
     has_gravcomp: bool = False
 
+    # --- capsule / box collision geoms (round-4 extension: the
+    # reference's task scenes are capsule/box based — humanoid feet are
+    # capsules, manipulation objects and tables are boxes) ---
+    ncap: int = 0
+    nbox: int = 0
+    cap_body: Tuple[int, ...] = ()
+    box_body: Tuple[int, ...] = ()
+    # typed self-collision pairs (index into the respective geom lists)
+    pair_sc: Tuple[Tuple[int, int], ...] = ()  # (sphere, capsule)
+    pair_cc: Tuple[Tuple[int, int], ...] = ()  # (capsule, capsule)
+    pair_sb: Tuple[Tuple[int, int], ...] = ()  # (sphere, box)
+    pair_cb: Tuple[Tuple[int, int], ...] = ()  # (capsule, box)
+    pair_bb: Tuple[Tuple[int, int], ...] = ()  # (box, box) 16 slots each
+    # whether capsules/boxes collide with the floor (per-geom flags)
+    cap_floor: Tuple[bool, ...] = ()
+    box_floor: Tuple[bool, ...] = ()
+
+    # fixed-tendon limits (MJCF <tendon><fixed limited range>, e.g. the
+    # upstream humanoid's hamstrings, humanoid.xml.patch tendon block):
+    # per tendon, the joints and linear coefficients; 2 constraint rows
+    # each (like joint limits)
+    tendon_jnt: Tuple[Tuple[int, ...], ...] = ()
+    tendon_coef: Tuple[Tuple[float, ...], ...] = ()
+
+    # static contact-slot tables: body on each side of every slot, in
+    # the canonical slot order (see collision.collide); -1 = world/floor
+    slot_body_a: Tuple[int, ...] = ()
+    slot_body_b: Tuple[int, ...] = ()
+
+    @property
+    def ntendon(self) -> int:
+        return len(self.tendon_jnt)
+
+    @property
+    def n_floor_slots(self) -> int:
+        """Leading contact slots that are geom-vs-floor (the rest are
+        self/pair slots) — the `contact_dist[nsph:]` self-collision
+        predicate generalized (cpu_env.py:573-584 analog)."""
+        return (self.nsph + 2 * self.ncap + 8 * self.nbox)
+
     def __hash__(self):
         return hash((self.nq, self.nv, self.nu, self.nbody, self.njnt,
                      self.nsph, self.npair, self.body_parent, self.jnt_type,
                      self.dof_mask_bytes, self.max_contacts,
                      self.fluid_density, self.fluid_viscosity,
-                     self.act_site_world, self.has_gravcomp))
+                     self.act_site_world, self.has_gravcomp,
+                     self.ncap, self.nbox, self.pair_sc, self.pair_cc,
+                     self.pair_sb, self.pair_cb, self.pair_bb,
+                     self.cap_floor, self.box_floor,
+                     self.tendon_jnt, self.tendon_coef))
 
     @property
     def dof_mask(self) -> np.ndarray:
@@ -226,6 +270,26 @@ class Model:
     sol_iter: jax.Array = dataclasses.field(
         default=None, metadata=dict(static=False))  # () int, PGS sweeps
 
+    # --- capsule geoms: segment (pos ± halflen*axis in body frame) + r ---
+    cap_pos: jax.Array = None        # (ncap, 3) center, body frame
+    cap_axis: jax.Array = None       # (ncap, 3) unit axis, body frame
+    cap_halflen: jax.Array = None    # (ncap,)
+    cap_radius: jax.Array = None     # (ncap,)
+    cap_friction: jax.Array = None       # (ncap,)
+    cap_friction_tor: jax.Array = None
+    cap_friction_roll: jax.Array = None
+
+    # --- box geoms: center pose + half-extents in body frame ---
+    box_pos: jax.Array = None        # (nbox, 3)
+    box_quat: jax.Array = None       # (nbox, 4)
+    box_size: jax.Array = None       # (nbox, 3) half-extents
+    box_friction: jax.Array = None       # (nbox,)
+    box_friction_tor: jax.Array = None
+    box_friction_roll: jax.Array = None
+
+    # fixed-tendon limit ranges (ntendon, 2)
+    tendon_range: jax.Array = None
+
     def replace(self, **kw) -> "Model":
         return dataclasses.replace(self, **kw)
 
@@ -243,8 +307,14 @@ class Model:
 
     @property
     def ncon(self):
-        """Fixed contact capacity: one floor slot/sphere + one slot/pair."""
-        return self.struct.nsph + self.struct.npair
+        """Fixed contact capacity over the static slot layout:
+        geom-vs-floor slots (1/sphere, 2/capsule endpoints, 8/box
+        corners) then typed pair slots (1 each; box-box pairs get 16
+        vertex slots)."""
+        s = self.struct
+        return (s.n_floor_slots + s.npair + len(s.pair_sc)
+                + len(s.pair_cc) + len(s.pair_sb) + len(s.pair_cb)
+                + 16 * len(s.pair_bb))
 
 
 class ModelBuilder:
@@ -263,7 +333,15 @@ class ModelBuilder:
         self._joints: List[dict] = []
         self._acts: List[dict] = []
         self._sphs: List[dict] = []
+        self._caps: List[dict] = []
+        self._boxes: List[dict] = []
         self._pairs: List[Tuple[int, int]] = []
+        self._pairs_sc: List[Tuple[int, int]] = []
+        self._pairs_cc: List[Tuple[int, int]] = []
+        self._pairs_sb: List[Tuple[int, int]] = []
+        self._pairs_cb: List[Tuple[int, int]] = []
+        self._pairs_bb: List[Tuple[int, int]] = []
+        self._tendons: List[dict] = []
         self._sites: List[dict] = []
         self.floor_z = 0.0
         self.floor_friction = 1.0
@@ -335,8 +413,69 @@ class ModelBuilder:
                                friction_roll=friction_roll))
         return len(self._sphs) - 1
 
+    def add_capsule(self, body: int, p0=(0, 0, 0), p1=(0, 0, 1),
+                    radius: float = 0.02, friction: float = 1.0,
+                    friction_tor: float = 0.005,
+                    friction_roll: float = 0.0001,
+                    floor: bool = True) -> int:
+        """Capsule geom from segment endpoints in the BODY frame (the
+        MJCF fromto convention, e.g. the upstream humanoid's limb and
+        foot capsules, mjpc/tasks/humanoid/humanoid.xml.patch)."""
+        p0 = np.asarray(p0, dtype=np.float64)
+        p1 = np.asarray(p1, dtype=np.float64)
+        center = 0.5 * (p0 + p1)
+        d = p1 - p0
+        halflen = 0.5 * float(np.linalg.norm(d))
+        axis = d / max(2 * halflen, 1e-12)
+        self._caps.append(dict(body=body, pos=tuple(center),
+                               axis=tuple(axis), halflen=halflen,
+                               radius=radius, friction=friction,
+                               friction_tor=friction_tor,
+                               friction_roll=friction_roll,
+                               floor=bool(floor)))
+        return len(self._caps) - 1
+
+    def add_box(self, body: int, pos=(0, 0, 0), quat=(1, 0, 0, 0),
+                size=(0.1, 0.1, 0.1), friction: float = 1.0,
+                friction_tor: float = 0.005, friction_roll: float = 0.0001,
+                floor: bool = True) -> int:
+        """Box geom: half-extents `size`, pose in the body frame (MJCF
+        type=box, e.g. manipulation objects/tables,
+        mjpc/tasks/bimanual/handover/task.xml)."""
+        self._boxes.append(dict(body=body, pos=pos, quat=quat, size=size,
+                                friction=friction,
+                                friction_tor=friction_tor,
+                                friction_roll=friction_roll,
+                                floor=bool(floor)))
+        return len(self._boxes) - 1
+
     def add_pair(self, sph_a: int, sph_b: int):
         self._pairs.append((sph_a, sph_b))
+
+    def add_pair_sc(self, sph: int, cap: int):
+        self._pairs_sc.append((sph, cap))
+
+    def add_pair_cc(self, cap_a: int, cap_b: int):
+        self._pairs_cc.append((cap_a, cap_b))
+
+    def add_pair_sb(self, sph: int, box: int):
+        self._pairs_sb.append((sph, box))
+
+    def add_pair_cb(self, cap: int, box: int):
+        self._pairs_cb.append((cap, box))
+
+    def add_pair_bb(self, box_a: int, box_b: int):
+        self._pairs_bb.append((box_a, box_b))
+
+    def add_tendon_limit(self, joints: Sequence[int],
+                         coefs: Sequence[float], trange: Tuple[float, float]):
+        """Fixed-tendon length limit: lo <= sum coef_i * qpos[jnt_i] <= hi
+        (MJCF <tendon><fixed limited="true" range>, the humanoid
+        hamstrings)."""
+        self._tendons.append(dict(joints=tuple(int(j) for j in joints),
+                                  coefs=tuple(float(c) for c in coefs),
+                                  range=(float(trange[0]),
+                                         float(trange[1]))))
 
     def add_site(self, name: str, body: int, pos=(0, 0, 0)) -> int:
         self._sites.append(dict(name=name, body=body, pos=pos))
@@ -375,8 +514,47 @@ class ModelBuilder:
             dof_mask[i] = body_dof[dof_body[i]]
 
         nsph = len(self._sphs)
+        ncap = len(self._caps)
+        nbox = len(self._boxes)
         npair = len(self._pairs)
         nu = len(self._acts)
+
+        # static contact-slot body tables in the canonical order that
+        # collision.collide emits (floor groups then pair groups)
+        sph_body_l = [s["body"] for s in self._sphs]
+        cap_body_l = [c["body"] for c in self._caps]
+        box_body_l = [b["body"] for b in self._boxes]
+        slot_a: List[int] = []
+        slot_b: List[int] = []
+
+        def floor_slots(bodies, per):
+            for b in bodies:
+                for _ in range(per):
+                    slot_a.append(-1)
+                    slot_b.append(b)
+
+        floor_slots(sph_body_l, 1)
+        floor_slots(cap_body_l, 2)
+        floor_slots(box_body_l, 8)
+        for (i, j) in self._pairs:
+            slot_a.append(sph_body_l[i])
+            slot_b.append(sph_body_l[j])
+        for (i, j) in self._pairs_sc:
+            slot_a.append(sph_body_l[i])
+            slot_b.append(cap_body_l[j])
+        for (i, j) in self._pairs_cc:
+            slot_a.append(cap_body_l[i])
+            slot_b.append(cap_body_l[j])
+        for (i, j) in self._pairs_sb:
+            slot_a.append(sph_body_l[i])
+            slot_b.append(box_body_l[j])
+        for (i, j) in self._pairs_cb:
+            slot_a.append(cap_body_l[i])
+            slot_b.append(box_body_l[j])
+        for (i, j) in self._pairs_bb:
+            for _ in range(16):
+                slot_a.append(box_body_l[i])
+                slot_b.append(box_body_l[j])
 
         struct = Structure(
             nq=nq, nv=nv, nu=nu, nbody=nbody, njnt=njnt, nsph=nsph,
@@ -409,6 +587,16 @@ class ModelBuilder:
             max_contacts=self.max_contacts,
             fluid_density=float(self.fluid_density),
             fluid_viscosity=float(self.fluid_viscosity),
+            ncap=ncap, nbox=nbox,
+            cap_body=tuple(cap_body_l), box_body=tuple(box_body_l),
+            pair_sc=tuple(self._pairs_sc), pair_cc=tuple(self._pairs_cc),
+            pair_sb=tuple(self._pairs_sb), pair_cb=tuple(self._pairs_cb),
+            pair_bb=tuple(self._pairs_bb),
+            cap_floor=tuple(bool(c["floor"]) for c in self._caps),
+            box_floor=tuple(bool(b["floor"]) for b in self._boxes),
+            tendon_jnt=tuple(t["joints"] for t in self._tendons),
+            tendon_coef=tuple(t["coefs"] for t in self._tendons),
+            slot_body_a=tuple(slot_a), slot_body_b=tuple(slot_b),
         )
 
         def arr(vals, shape=None):
@@ -482,6 +670,28 @@ class ModelBuilder:
                                (nu, 2)),
             site_pos=arr([s["pos"] for s in self._sites],
                          (len(self._sites), 3)),
+            cap_pos=arr([c["pos"] for c in self._caps], (ncap, 3)),
+            cap_axis=arr([c["axis"] for c in self._caps], (ncap, 3)),
+            cap_halflen=arr([c["halflen"] for c in self._caps], (ncap,)),
+            cap_radius=arr([c["radius"] for c in self._caps], (ncap,)),
+            cap_friction=arr([c["friction"] for c in self._caps],
+                             (ncap,)),
+            cap_friction_tor=arr([c["friction_tor"] for c in self._caps],
+                                 (ncap,)),
+            cap_friction_roll=arr([c["friction_roll"]
+                                   for c in self._caps], (ncap,)),
+            box_pos=arr([b["pos"] for b in self._boxes], (nbox, 3)),
+            box_quat=arr([_normq(b["quat"]) for b in self._boxes],
+                         (nbox, 4)),
+            box_size=arr([b["size"] for b in self._boxes], (nbox, 3)),
+            box_friction=arr([b["friction"] for b in self._boxes],
+                             (nbox,)),
+            box_friction_tor=arr([b["friction_tor"]
+                                  for b in self._boxes], (nbox,)),
+            box_friction_roll=arr([b["friction_roll"]
+                                   for b in self._boxes], (nbox,)),
+            tendon_range=arr([t["range"] for t in self._tendons],
+                             (len(self._tendons), 2)),
             sph_pos=arr([s["pos"] for s in self._sphs],
                         (nsph, 3)),
             sph_radius=arr([s["radius"] for s in self._sphs],
@@ -548,12 +758,20 @@ def make_state(model: Model, qpos=None, qvel=None, time=0.0) -> State:
 
 
 def default_qpos(model: Model) -> jax.Array:
-    """Neutral configuration: zeros, identity quats for free/ball joints."""
+    """Neutral configuration (MuJoCo qpos0 semantics): scalar joints at
+    0, ball joints at identity, FREE joints at the carrying body's frame
+    pose in the world — so a body declared at pos=(x,y,z) starts there,
+    like mjModel.qpos0. Trace-safe: body_pos/body_quat may be traced
+    (state_estimation jits over the model)."""
     s = model.struct
-    q = np.zeros(s.nq)
+    dtype = model.body_pos.dtype
+    q = jnp.zeros(s.nq, dtype=dtype)
     for j in range(s.njnt):
+        adr = s.jnt_qadr[j]
         if s.jnt_type[j] == JointType.FREE:
-            q[s.jnt_qadr[j] + 3] = 1.0
+            b = s.jnt_body[j]
+            q = q.at[adr:adr + 3].set(model.body_pos[b])
+            q = q.at[adr + 3:adr + 7].set(model.body_quat[b])
         elif s.jnt_type[j] == JointType.BALL:
-            q[s.jnt_qadr[j]] = 1.0
-    return jnp.asarray(q, dtype=model.body_pos.dtype)
+            q = q.at[adr].set(1.0)
+    return q

@@ -119,29 +119,36 @@ def make_rows(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
             d = impedance(m.limit_solimp, -dist)
             rows_d.append(d)
 
+    # ---- fixed-tendon limits: 2 rows per tendon (the humanoid
+    # hamstrings, humanoid.xml.patch tendon block) ----
+    for tnd in range(s.ntendon):
+        jnts = s.tendon_jnt[tnd]
+        coefs = s.tendon_coef[tnd]
+        Jrow = sum(c * eye[s.jnt_vadr[j]] for j, c in zip(jnts, coefs))
+        length = sum(c * qpos[s.jnt_qadr[j]] for j, c in zip(jnts, coefs))
+        lo, hi = m.tendon_range[tnd, 0], m.tendon_range[tnd, 1]
+        for sign, dist in ((1.0, length - lo), (-1.0, hi - length)):
+            rows_J.append(sign * Jrow)
+            rows_pos.append(dist)
+            rows_d.append(impedance(m.limit_solimp, -dist))
+
     nlimit = len(rows_J)
 
     # ---- contacts: 4 pyramid rows each ----
     ncon = contacts.dist.shape[0]
     if ncon:
         # translational Jacobian of the contact point for both bodies
-        # J_point col i = cdof_lin_i + cdof_ang_i x (p - anchor), masked to
-        # the chain of the sphere's body (floor slots: world side is fixed)
+        # J_point col i = cdof_lin_i + cdof_ang_i x (p - anchor), masked
+        # to each side's chain via the STATIC slot tables
+        # (Structure.slot_body_a/b, canonical order of collision.collide;
+        # floor slots have a = -1 = world side fixed)
         import numpy as np
         body_dof = s.body_dof                             # (nbody, nv) uint8
-        pair_bodies_a = [  # body on the "a" side per slot (-1 = world)
-            *([-1] * s.nsph),
-            *[s.sph_body[i] for i in s.pair_a],
-        ]
-        pair_bodies_b = [
-            *[s.sph_body[i] for i in range(s.nsph)],
-            *[s.sph_body[i] for i in s.pair_b],
-        ]
         zero_row = np.zeros(nv, dtype=np.float64)
         tab_a = np.stack([body_dof[b] if b >= 0 else zero_row
-                          for b in pair_bodies_a])        # (ncon_full, nv)
+                          for b in s.slot_body_a])        # (ncon_full, nv)
         tab_b = np.stack([body_dof[b] if b >= 0 else zero_row
-                          for b in pair_bodies_b])
+                          for b in s.slot_body_b])
         mask_a = jnp.asarray(tab_a, dtype=dtype)
         mask_b = jnp.asarray(tab_b, dtype=dtype)
         if sel is not None:

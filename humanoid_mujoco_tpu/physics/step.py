@@ -27,8 +27,9 @@ import jax.numpy as jnp
 from ..ops import linalg
 from . import math as pm
 from .collision import collide, select_contacts
-from .engine import (actuation, crb_mass_matrix, fwd_position, fwd_velocity,
-                     passive_force, rnea_bias, thrust_qfrc, xfrc_to_qfrc)
+from .engine import (actuation, body_com_velocities, crb_mass_matrix,
+                     fwd_position, fwd_velocity, passive_force, rnea_bias,
+                     thrust_qfrc, xfrc_to_qfrc)
 from .model import JointType, Model, State
 from .solver import newton_solve
 
@@ -48,6 +49,9 @@ class StepInfo:
     site_xpos: jax.Array     # (nsite, 3)
     com: jax.Array           # (3,) whole-model COM
     com_vel: jax.Array       # (3,) whole-model COM velocity
+    body_com_vel: jax.Array  # (nbody, 3) per-body COM linear velocity
+    #   (framelinvel/subtreelinvel sensor analog — the humanoid Walk
+    #   residual's foot/com velocity terms, walk.cc:140-160)
     contact_dist: jax.Array  # (ncon,) signed gaps
     contact_force: jax.Array  # (ncon,) normal force magnitude
     qacc: jax.Array          # (nv,)
@@ -58,7 +62,7 @@ class StepInfo:
 
 def _num_limit_rows(m: Model) -> int:
     s = m.struct
-    n = 0
+    n = 2 * s.ntendon
     for j in range(s.njnt):
         if s.jnt_limited[j] and s.jnt_type[j] in (JointType.HINGE,
                                                   JointType.SLIDE):
@@ -171,6 +175,7 @@ def forward(m: Model, state: State, ctrl: jax.Array,
     info = StepInfo(
         xpos=kin.xpos, xquat=kin.xquat, xipos=kin.xipos,
         site_xpos=kin.site_xpos, com=kin.anchor, com_vel=vel.com_vel,
+        body_com_vel=body_com_velocities(kin, vel),
         contact_dist=contacts_full.dist, contact_force=cf,
         qacc=qacc, actuator_force=actuator_force, qfrc_total=qfrc_total,
         diverged=diverged)
@@ -242,6 +247,7 @@ def step(m: Model, state: State, ctrl: jax.Array,
         info = StepInfo(
             xpos=kin.xpos, xquat=kin.xquat, xipos=kin.xipos,
             site_xpos=kin.site_xpos, com=kin.anchor, com_vel=vel.com_vel,
+            body_com_vel=body_com_velocities(kin, vel),
             contact_dist=contacts_full.dist, contact_force=cf,
             qacc=qacc, actuator_force=_actuator_force(m, qpos, qvel, ctrl,
                                                       dtype),

@@ -48,7 +48,8 @@ def _light_info(m: Model, state: State) -> StepInfo:
     """Kinematics-only StepInfo for residual evaluation (no contact
     solve) — valid for residuals that read positions/velocities, which is
     what the reference's cost sensors use (framepos/subtree*)."""
-    from ..physics.engine import fwd_position, fwd_velocity
+    from ..physics.engine import (body_com_velocities, fwd_position,
+                                  fwd_velocity)
     dtype = state.qpos.dtype
     kin = fwd_position(m, state.qpos)
     vel = fwd_velocity(m, kin, state.qvel)
@@ -56,6 +57,7 @@ def _light_info(m: Model, state: State) -> StepInfo:
     return StepInfo(
         xpos=kin.xpos, xquat=kin.xquat, xipos=kin.xipos,
         site_xpos=kin.site_xpos, com=kin.anchor, com_vel=vel.com_vel,
+        body_com_vel=body_com_velocities(kin, vel),
         contact_dist=z, contact_force=z,
         qacc=jnp.zeros((m.nv,), dtype=dtype),
         actuator_force=jnp.zeros((m.nu,), dtype=dtype),

@@ -497,10 +497,9 @@ def env_step(cfg: EnvConfig, base_model: Model, es: EnvState,
 
 def _self_collision(m: Model, info) -> jax.Array:
     """Any self-collision pair slot in contact (cpu_env.py:573-584)."""
-    nsph = m.struct.nsph
-    if m.struct.npair == 0:
-        return jnp.asarray(False)
-    return jnp.any(info.contact_dist[nsph:] < 0.0)
+    if m.ncon == m.struct.n_floor_slots:
+        return jnp.asarray(False)     # no self-collision pair slots
+    return jnp.any(info.contact_dist[m.struct.n_floor_slots:] < 0.0)
 
 
 def env_auto_reset(cfg: EnvConfig, base_model: Model, es: EnvState,

@@ -53,6 +53,8 @@ def _register_builtin():
     from .quadrotor import quadrotor_model, quadrotor_task
     from .quadruped import quadruped_model, quadruped_task
     from .quadruped_hill import quadruped_hill_model, quadruped_hill_task
+    from .humanoid21 import (h21_stand_task, h21_walk_task,
+                             humanoid21_model)
     from .stand import stand_task
     from .swimmer import swimmer_model, swimmer_task
     from .walk import walk_task
@@ -61,6 +63,8 @@ def _register_builtin():
     register("Cartpole", cartpole_task, cartpole_model)
     register("Humanoid Cap Stand", stand_task, build_humanoid)
     register("Humanoid Cap Walk", walk_task, build_humanoid)
+    register("Humanoid Stand", h21_stand_task, humanoid21_model)
+    register("Humanoid Walk", h21_walk_task, humanoid21_model)
     register("Panda", panda_task, panda_model)
     register("Particle", particle_task, particle_model)
     register("ParticleFixed", particle_fixed_task, particle_model)
