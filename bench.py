@@ -111,6 +111,32 @@ def main():
             if within_budget():
                 solve_rate(MPPIConfig, mppi_plan, 4096,
                            "mppi4096_solves_per_s")
+            if within_budget():
+                # the reference's own TPU demo, at its own demo scale:
+                # ALOHA bimanual handover, nsample=8191 x horizon=128
+                # per plan iteration (mjx/visualize.py:29-43)
+                import dataclasses
+                from humanoid_mujoco_tpu.tasks.aloha import (
+                    aloha_home_qpos, aloha_model, handover_task,
+                    home_ctrl)
+                am = aloha_model()
+                atask = handover_task()
+                as0 = make_state(am, qpos=aloha_home_qpos(am))
+                acfg = SamplingConfig(nsample=8191, nknots=4,
+                                      horizon=128,
+                                      order=SplineOrder.LINEAR,
+                                      solver_iters=1)
+                apol = init_policy(am, 4)
+                apol = dataclasses.replace(
+                    apol, values=jnp.tile(home_ctrl(am)[None], (4, 1)))
+                fj = jax.jit(lambda p, s, k: sampling_plan(
+                    am, atask, acfg, p, s, k)[1].best_return)
+                fetch(fj(apol, as0, jax.random.PRNGKey(0)))
+                bs = timed_scan(fj, apol, as0, jax.random.PRNGKey(0),
+                                reps=3, warmup=False)
+                extra["handover8191x128_plan_latency_s"] = round(bs, 3)
+                extra["handover8191x128_steps_per_s"] = round(
+                    8191 * 128 / bs)
         if within_budget():
             from humanoid_mujoco_tpu.rl.env import (EnvConfig,
                                                     batch_reset,

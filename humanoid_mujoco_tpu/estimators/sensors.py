@@ -30,20 +30,38 @@ class SensorModel:
     noise: jax.Array          # (ny,) measurement noise std
 
 
+def _is_robot_model(m: Model) -> bool:
+    """True for the 12-DOF humanoid whose joints/IMU the robot reports
+    (controllers/mpc_server.py:32-50); other models fall back to a
+    generic full-state measurement so the estimator/direct services
+    work for any registry task."""
+    names = set(m.struct.jnt_names)
+    return all(n in names for n in ACTUATED_JOINT_ORDER)
+
+
 def default_sensor_model(m: Model, dtype=jnp.float32) -> SensorModel:
-    ny = 12 + 12 + 3 + 3
-    noise = jnp.concatenate([
-        jnp.full((12,), 0.035, dtype=dtype),   # ~2 deg joint angle
-        jnp.full((12,), 0.087, dtype=dtype),   # ~5 deg/s joint vel
-        jnp.full((3,), 0.035, dtype=dtype),    # gyro
-        jnp.full((3,), 0.05, dtype=dtype),     # gravity direction
-    ])
+    if _is_robot_model(m):
+        noise = jnp.concatenate([
+            jnp.full((12,), 0.035, dtype=dtype),  # ~2 deg joint angle
+            jnp.full((12,), 0.087, dtype=dtype),  # ~5 deg/s joint vel
+            jnp.full((3,), 0.035, dtype=dtype),   # gyro
+            jnp.full((3,), 0.05, dtype=dtype),    # gravity direction
+        ])
+    else:
+        s = m.struct
+        noise = jnp.concatenate([
+            jnp.full((s.nq,), 0.01, dtype=dtype),
+            jnp.full((s.nv,), 0.05, dtype=dtype),
+        ])
     return SensorModel(noise=noise)
 
 
 def measure(m: Model, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
-    """h(x): the 30-D measurement vector (joint order = actuator order)."""
+    """h(x): the 30-D robot measurement (joint order = actuator order),
+    or generic (qpos, qvel) for non-humanoid models."""
     s = m.struct
+    if not _is_robot_model(m):
+        return jnp.concatenate([qpos, qvel])
     jids = [s.jnt_id(n) for n in ACTUATED_JOINT_ORDER]
     qadr = jnp.asarray([s.jnt_qadr[j] for j in jids], dtype=jnp.int32)
     vadr = jnp.asarray([s.jnt_vadr[j] for j in jids], dtype=jnp.int32)

@@ -47,6 +47,7 @@ def get_task(name: str, **kwargs) -> Task:
 def _register_builtin():
     from ..physics.humanoid import build_humanoid
     from .acrobot import acrobot_model, acrobot_task
+    from .aloha import aloha_model, handover_task
     from .cartpole import cartpole_model, cartpole_task
     from .panda import panda_model, panda_task
     from .particle import particle_fixed_task, particle_model, particle_task
@@ -60,6 +61,7 @@ def _register_builtin():
     from .walk import walk_task
     from .walker2d import walker_model, walker_task
     register("Acrobot", acrobot_task, acrobot_model)
+    register("Bimanual Handover", handover_task, aloha_model)
     register("Cartpole", cartpole_task, cartpole_model)
     register("Humanoid Cap Stand", stand_task, build_humanoid)
     register("Humanoid Cap Walk", walk_task, build_humanoid)
