@@ -21,6 +21,7 @@ through the PolicyBuffer.
 from __future__ import annotations
 
 import pickle
+import queue
 
 import jax
 import numpy as np
@@ -51,6 +52,10 @@ class AsyncAgent:
         self._ctl_action = self._build_ctl_action(control_device)
         # control-side policy copy (owned by the control thread only)
         self._ctl_pstate = jax.tree.map(np.asarray, agent.pstate)
+        # agent mutations (weight sliders, task params — the GUI verbs,
+        # agent.cc slider handling) are queued here and applied BY the
+        # plan thread, which is the sole owner of the shared Agent
+        self._cmds: queue.Queue = queue.Queue()
         self._publish_policy()
 
     def _build_ctl_action(self, control_device):
@@ -72,6 +77,12 @@ class AsyncAgent:
         self.policy_buf.publish(blob)
 
     def _plan_once(self) -> bool:
+        while True:   # drain queued agent mutations (GUI verbs)
+            try:
+                fn = self._cmds.get_nowait()
+            except queue.Empty:
+                break
+            fn(self.agent)
         qp, qv, t = self.state_store.get()
         self.agent.set_state(qpos=qp, qvel=qv, time=t)
         self.agent.planner_step()
@@ -86,6 +97,13 @@ class AsyncAgent:
         self.loop.stop()
 
     # ---- control thread side (never mutates self.agent) ----
+    def submit(self, fn):
+        """Queue an agent mutation (e.g. lambda a:
+        a.set_cost_weights({...})) for the plan thread to apply before
+        its next iteration — the GUI-slider path without breaking the
+        single-owner contract."""
+        self._cmds.put(fn)
+
     def set_state(self, qpos, qvel, time: float):
         """Publish a fresh state snapshot (physics thread analog)."""
         self.state_store.set(np.asarray(qpos), np.asarray(qvel),

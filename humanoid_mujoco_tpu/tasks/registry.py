@@ -14,15 +14,29 @@ from .base import Task
 
 _REGISTRY: Dict[str, Callable[..., Task]] = {}
 _MODELS: Dict[str, Callable] = {}
+_HOME_QPOS: Dict[str, Callable] = {}
 
 
 def register(name: str, factory: Callable[..., Task],
-             model_factory: Callable = None):
+             model_factory: Callable = None,
+             home_qpos_factory: Callable = None):
     """Register a task factory (+ its robot-model factory — the
-    reference pairs each task with a task.xml model)."""
+    reference pairs each task with a task.xml model — and optionally
+    the task's home keyframe, the <keyframe name="home"> analog)."""
     _REGISTRY[name] = factory
     if model_factory is not None:
         _MODELS[name] = model_factory
+    if home_qpos_factory is not None:
+        _HOME_QPOS[name] = home_qpos_factory
+
+
+def home_qpos(name: str, m):
+    """The task's home keyframe qpos (falls back to the model default,
+    like a task.xml without a keyframe)."""
+    if name in _HOME_QPOS:
+        return _HOME_QPOS[name](m)
+    from ..physics.model import default_qpos
+    return default_qpos(m)
 
 
 def task_model(name: str, **kwargs):
@@ -45,36 +59,46 @@ def get_task(name: str, **kwargs) -> Task:
 
 
 def _register_builtin():
-    from ..physics.humanoid import build_humanoid
-    from .acrobot import acrobot_model, acrobot_task
-    from .aloha import aloha_model, handover_task
-    from .cartpole import cartpole_model, cartpole_task
-    from .panda import panda_model, panda_task
+    from ..physics import humanoid_upstream
+    from ..physics.humanoid import build_humanoid, stand_qpos
+    from .acrobot import acrobot_home_qpos, acrobot_model, acrobot_task
+    from .aloha import aloha_home_qpos, aloha_model, handover_task
+    from .cartpole import cartpole_home_qpos, cartpole_model, cartpole_task
+    from .panda import panda_home_qpos, panda_model, panda_task
     from .particle import particle_fixed_task, particle_model, particle_task
-    from .quadrotor import quadrotor_model, quadrotor_task
-    from .quadruped import quadruped_model, quadruped_task
+    from .quadrotor import quadrotor_home_qpos, quadrotor_model, \
+        quadrotor_task
+    from .quadruped import quadruped_home_qpos, quadruped_model, \
+        quadruped_task
     from .quadruped_hill import quadruped_hill_model, quadruped_hill_task
     from .humanoid21 import (h21_stand_task, h21_walk_task,
                              humanoid21_model)
     from .stand import stand_task
     from .swimmer import swimmer_model, swimmer_task
     from .walk import walk_task
-    from .walker2d import walker_model, walker_task
-    register("Acrobot", acrobot_task, acrobot_model)
-    register("Bimanual Handover", handover_task, aloha_model)
-    register("Cartpole", cartpole_task, cartpole_model)
-    register("Humanoid Cap Stand", stand_task, build_humanoid)
-    register("Humanoid Cap Walk", walk_task, build_humanoid)
-    register("Humanoid Stand", h21_stand_task, humanoid21_model)
-    register("Humanoid Walk", h21_walk_task, humanoid21_model)
-    register("Panda", panda_task, panda_model)
+    from .walker2d import walker_model, walker_stand_qpos, walker_task
+    register("Acrobot", acrobot_task, acrobot_model, acrobot_home_qpos)
+    register("Bimanual Handover", handover_task, aloha_model,
+             aloha_home_qpos)
+    register("Cartpole", cartpole_task, cartpole_model,
+             cartpole_home_qpos)
+    register("Humanoid Cap Stand", stand_task, build_humanoid, stand_qpos)
+    register("Humanoid Cap Walk", walk_task, build_humanoid, stand_qpos)
+    register("Humanoid Stand", h21_stand_task, humanoid21_model,
+             humanoid_upstream.stand_qpos)
+    register("Humanoid Walk", h21_walk_task, humanoid21_model,
+             humanoid_upstream.stand_qpos)
+    register("Panda", panda_task, panda_model, panda_home_qpos)
     register("Particle", particle_task, particle_model)
     register("ParticleFixed", particle_fixed_task, particle_model)
-    register("Quadrotor", quadrotor_task, quadrotor_model)
-    register("Quadruped Flat", quadruped_task, quadruped_model)
-    register("Quadruped Hill", quadruped_hill_task, quadruped_hill_model)
+    register("Quadrotor", quadrotor_task, quadrotor_model,
+             quadrotor_home_qpos)
+    register("Quadruped Flat", quadruped_task, quadruped_model,
+             quadruped_home_qpos)
+    register("Quadruped Hill", quadruped_hill_task, quadruped_hill_model,
+             quadruped_home_qpos)
     register("Swimmer", swimmer_task, swimmer_model)
-    register("Walker", walker_task, walker_model)
+    register("Walker", walker_task, walker_model, walker_stand_qpos)
 
 
 _register_builtin()

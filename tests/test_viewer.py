@@ -72,3 +72,68 @@ class TestViewer:
             assert "const S =" in body
         finally:
             srv.shutdown()
+
+
+class TestLiveViewer:
+    """Plan-in-the-loop live surface (viz/live.py — the mjpc app
+    analog, app.cc:209-496): physics + async plan loop, live snapshot,
+    weight sliders, perturbations."""
+
+    def test_live_session_end_to_end(self):
+        import time
+
+        from humanoid_mujoco_tpu.viz.live import LiveSession, serve_live
+
+        session = LiveSession(task_name="ParticleFixed",
+                              planner="sampling", nsample=8, horizon=8,
+                              control_hz=50.0, realtime=False)
+        session.start()
+        srv = serve_live(session, port=0, block=False)
+        try:
+            port = srv.server_address[1]
+
+            def get(path):
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}{path}",
+                        timeout=30) as r:
+                    return json.loads(r.read())
+
+            def post(path, payload):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}{path}",
+                    data=json.dumps(payload).encode(), method="POST")
+                urllib.request.urlopen(req, timeout=30).read()
+
+            # page served with embedded meta
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/", timeout=30) as r:
+                page = r.read().decode()
+            assert "const META =" in page and "set_weight" in page
+
+            # live state advances between polls
+            s1 = get("/state.json")
+            time.sleep(0.5)
+            s2 = get("/state.json")
+            assert s2["t"] > s1["t"]
+            assert len(s2["spheres"]) == len(session.meta["radii"])
+            assert s2["control_hz"] > 0
+
+            # weight slider reaches the plan thread's agent
+            post("/set_weight", {"name": "Position", "value": 7.5})
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                w = session.agent.get_cost_weights().get("Position")
+                if w == 7.5:
+                    break
+                time.sleep(0.05)
+            assert session.agent.get_cost_weights()["Position"] == 7.5
+
+            # perturbation visibly moves the particle
+            q_before = np.asarray(session._state.qpos).copy()
+            post("/perturb", {"force": [5.0, 0.0, 0.0]})
+            time.sleep(0.5)
+            q_after = np.asarray(session._state.qpos)
+            assert not np.allclose(q_before, q_after, atol=1e-5)
+        finally:
+            srv.shutdown()
+            session.stop()
