@@ -35,6 +35,8 @@ class MPCResult:
     ctrls: jax.Array        # (ncycle, steps_per_plan, nu)
     costs: jax.Array        # (ncycle, steps_per_plan) sim-model step costs
     plan_returns: jax.Array  # (ncycle,) best return per plan iteration
+    final_task: object = None  # when run_transition: task after the run
+    #   (goal mocap moved / mode advanced — Task::Transition state)
 
 
 def spline_action_fn(order: int):
@@ -54,31 +56,42 @@ def ilqg_action_fn(m, policy, s):
 def mpc_rollout(sim_model: Model, plan_model: Model, task: Task,
                 plan_fn: PlanFn, policy, state: State,
                 rng: jax.Array, ncycle: int, steps_per_plan: int,
-                action_fn, sim_solver_iters: int = 8) -> MPCResult:
+                action_fn, sim_solver_iters: int = 8,
+                run_transition: bool = False) -> MPCResult:
     """Run `ncycle` plan->act cycles; fully jittable (jit over static
     ncycle/steps_per_plan). `action_fn(m, policy, state) -> ctrl` queries
-    the policy at the sim rate (feedback policies see the live state)."""
+    the policy at the sim rate (feedback policies see the live state).
+
+    `run_transition` threads the Task pytree through the loop and calls
+    Task::Transition after every sim step (mjpc/app.cc:280 runs it in
+    the physics loop) — waypoint circuits / goal respawns advance live;
+    the planner then plans against the updated goal each cycle."""
 
     def cycle(carry, key):
-        state, policy = carry
-        policy, info = plan_fn(plan_model, task, policy, state, key)
+        state, policy, tsk = carry
+        policy, info = plan_fn(plan_model, tsk, policy, state, key)
 
-        def sim_step(s, _):
+        def sim_step(c, _):
+            s, t = c
             ctrl = action_fn(sim_model, policy, s)
             s_new, step_info = step(sim_model, s, ctrl,
                                     solver_iters=sim_solver_iters)
-            res = task.residual(sim_model, s, step_info, ctrl)
-            return s_new, (s.qpos, ctrl, cost_value(task, res))
+            res = t.residual(sim_model, s, step_info, ctrl)
+            t_new = (t.transition(sim_model, s_new, step_info)
+                     if run_transition else t)
+            return (s_new, t_new), (s.qpos, ctrl, cost_value(t, res))
 
-        state, (qpos, ctrls, costs) = jax.lax.scan(
-            sim_step, state, None, length=steps_per_plan)
-        return (state, policy), (qpos, ctrls, costs, info.best_return)
+        (state, tsk), (qpos, ctrls, costs) = jax.lax.scan(
+            sim_step, (state, tsk), None, length=steps_per_plan)
+        return (state, policy, tsk), (qpos, ctrls, costs,
+                                      info.best_return)
 
     keys = jax.random.split(rng, ncycle)
-    (state, policy), (qpos, ctrls, costs, best) = jax.lax.scan(
-        cycle, (state, policy), keys)
+    (state, policy, task), (qpos, ctrls, costs, best) = jax.lax.scan(
+        cycle, (state, policy, task), keys)
     return MPCResult(final_state=state, final_policy=policy, states=qpos,
-                     ctrls=ctrls, costs=costs, plan_returns=best)
+                     ctrls=ctrls, costs=costs, plan_returns=best,
+                     final_task=task if run_transition else None)
 
 
 def make_plan_model(m: Model, plan_dt: float) -> Model:

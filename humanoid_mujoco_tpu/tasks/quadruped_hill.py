@@ -44,29 +44,34 @@ _N_WAYPOINTS = 8
 _RING_R = 1.6
 
 
-def _hill_height_np(x, y):
-    return _HILL_H * np.exp(-(x * x + y * y) / (2.0 * _HILL_SIGMA ** 2))
+def _hill_height_np(x, y, hill_h: float = _HILL_H):
+    return hill_h * np.exp(-(x * x + y * y) / (2.0 * _HILL_SIGMA ** 2))
 
 
-def quadruped_hill_model(dt: float = 0.004, dtype=jnp.float32) -> Model:
-    """A1 on a Gaussian-hill heightfield (task_hill.xml terrain)."""
+def quadruped_hill_model(dt: float = 0.004, dtype=jnp.float32,
+                         hill_h: float = _HILL_H) -> Model:
+    """A1 on a Gaussian-hill heightfield (task_hill.xml terrain);
+    `hill_h` scales the peak (the reference scales its PNG heightfield
+    the same way via hfield size attributes)."""
     n, half = 64, 4.0
     m = quadruped_model(dt=dt, dtype=dtype, hfield_shape=(n, n),
                         hfield_halfsize=(half, half))
     xs = np.linspace(-half, half, n)
     X, Y = np.meshgrid(xs, xs, indexing="xy")
     return m.replace(
-        hfield_data=jnp.asarray(_hill_height_np(X, Y), dtype=dtype))
+        hfield_data=jnp.asarray(_hill_height_np(X, Y, hill_h),
+                                dtype=dtype))
 
 
-def waypoints(dtype=jnp.float32):
-    """Ring of 8 poses around the hill, headings facing travel
+def waypoints(dtype=jnp.float32, n: int = _N_WAYPOINTS,
+              ring_r: float = _RING_R, hill_h: float = _HILL_H):
+    """Ring of poses around the hill, headings facing travel
     (the task_hill.xml keyframe circuit analog)."""
     pos, quat = [], []
-    for i in range(_N_WAYPOINTS):
-        th = 2.0 * np.pi * i / _N_WAYPOINTS
-        x, y = _RING_R * np.cos(th), _RING_R * np.sin(th)
-        z = _hill_height_np(x, y) + 0.26
+    for i in range(n):
+        th = 2.0 * np.pi * i / n
+        x, y = ring_r * np.cos(th), ring_r * np.sin(th)
+        z = _hill_height_np(x, y, hill_h) + 0.26
         pos.append([x, y, z])
         yaw = th + np.pi / 2.0          # tangent, counter-clockwise
         quat.append([np.cos(yaw / 2.0), 0.0, 0.0, np.sin(yaw / 2.0)])
@@ -86,20 +91,24 @@ def _hill_residual(m: Model, task: Task, state: State, info: StepInfo,
     return jnp.concatenate([stand, body_pos, body_rot, ctrl - home])
 
 
-def _hill_transition(task: Task, m: Model, state: State,
-                     info: StepInfo) -> Task:
-    """Advance the waypoint when within tolerance
-    (QuadrupedHill::TransitionLocked, quadruped.cc:776-817)."""
-    wpos, wquat = waypoints(dtype=task.mocap_pos.dtype)
-    trunk = m.struct.body_id("trunk")
-    pos_err = jnp.linalg.norm(info.xpos[trunk] - task.mocap_pos[0])
-    geo = 1.0 - jnp.abs(jnp.dot(info.xquat[trunk], task.mocap_quat[0]))
-    advance = jnp.logical_and(pos_err <= _TOL, geo <= _TOL)
-    idx = jnp.where(advance, (task.mode + 1) % _N_WAYPOINTS, task.mode)
-    return dataclasses.replace(
-        task, mode=idx,
-        mocap_pos=task.mocap_pos.at[0].set(wpos[idx]),
-        mocap_quat=task.mocap_quat.at[0].set(wquat[idx]))
+def _make_transition(n: int, ring_r: float, hill_h: float):
+    def _hill_transition(task: Task, m: Model, state: State,
+                         info: StepInfo) -> Task:
+        """Advance the waypoint when within tolerance
+        (QuadrupedHill::TransitionLocked, quadruped.cc:776-817)."""
+        wpos, wquat = waypoints(dtype=task.mocap_pos.dtype, n=n,
+                                ring_r=ring_r, hill_h=hill_h)
+        trunk = m.struct.body_id("trunk")
+        pos_err = jnp.linalg.norm(info.xpos[trunk] - task.mocap_pos[0])
+        geo = 1.0 - jnp.abs(jnp.dot(info.xquat[trunk],
+                                    task.mocap_quat[0]))
+        advance = jnp.logical_and(pos_err <= _TOL, geo <= _TOL)
+        idx = jnp.where(advance, (task.mode + 1) % n, task.mode)
+        return dataclasses.replace(
+            task, mode=idx,
+            mocap_pos=task.mocap_pos.at[0].set(wpos[idx]),
+            mocap_quat=task.mocap_quat.at[0].set(wquat[idx]))
+    return _hill_transition
 
 
 _TERMS = (
@@ -111,13 +120,20 @@ _TERMS = (
 _WEIGHTS = (1.0, 5.0, 1.0, 0.25)      # task_hill.xml:63-66
 
 
-def quadruped_hill_task(dtype=jnp.float32) -> Task:
-    wpos, wquat = waypoints(dtype=dtype)
+def quadruped_hill_task(dtype=jnp.float32, n_waypoints: int = _N_WAYPOINTS,
+                        ring_r: float = _RING_R,
+                        hill_h: float = _HILL_H) -> Task:
+    """`n_waypoints`/`ring_r`/`hill_h` shrink the circuit (the
+    reference edits the keyframe ring in task_hill.xml the same
+    way); pass the same `hill_h` to quadruped_hill_model."""
+    wpos, wquat = waypoints(dtype=dtype, n=n_waypoints, ring_r=ring_r,
+                            hill_h=hill_h)
     t = make_task("Quadruped Hill", _TERMS, _hill_residual, _WEIGHTS,
                   params=(0.25,), param_names=("Height Goal",),
-                  transition_fn=_hill_transition,
+                  transition_fn=_make_transition(n_waypoints, ring_r,
+                                                 hill_h),
                   mode_names=tuple(f"Waypoint {i}"
-                                   for i in range(_N_WAYPOINTS)),
+                                   for i in range(n_waypoints)),
                   mocap={"goal": (float(wpos[0, 0]), float(wpos[0, 1]),
                                   float(wpos[0, 2]))},
                   dtype=dtype)
