@@ -363,3 +363,186 @@ def handover_task(dtype=jnp.float32) -> Task:
                      _WEIGHTS, norm_params=_NORM_PARAMS,
                      mocap={"box_goal": _TARGET_START},
                      transition_fn=_handover_transition, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Bimanual Reorient (mjpc/tasks/bimanual/reorient/{reorient.cc,task.xml})
+# ---------------------------------------------------------------------------
+# Object: the reorientation cross — three orthogonal capsules (radius
+# 0.015, arms -0.02..0.06 per axis, 0.04 kg each;
+# common_assets/reorientation_cross.xml). Goal: bring the cross to the
+# target pose AND match its orientation via 18-D "cross point" residual
+# (center +- kRadius * axis, both signs, all three axes;
+# reorient.cc:118-141).
+
+_CROSS_ARMS = (((-0.02, 0.0, 0.0), (0.06, 0.0, 0.0)),
+               ((0.0, -0.02, 0.0), (0.0, 0.06, 0.0)),
+               ((0.0, 0.0, -0.02), (0.0, 0.0, 0.06)))
+_CROSS_R = 0.015
+_K_RADIUS = 0.05                 # cross-point radius (reorient.cc:110)
+_CROSS_START = (0.2, 0.0, 0.025)
+_REORIENT_TARGET = (0.1, -0.2, 0.2)   # target_orient body region
+
+
+def aloha_reorient_model(dt: float = 0.01, max_contacts: int = 16,
+                         dtype=jnp.float32) -> Model:
+    """Dual ViperX-300s + the reorientation cross on the table plane."""
+    b = ModelBuilder(dt=dt)
+    b.has_floor = True
+    b.floor_z = 0.0
+    b.sol_iter = 6
+    b.max_contacts = max_contacts
+
+    sphs: list[int] = []
+    caps: list[int] = []
+    _build_arm(b, "left", (-0.469, -0.019, 0.02), (1, 0, 0, 0), sphs, caps)
+    _build_arm(b, "right", (0.469, -0.019, 0.02), (0, 0, 0, 1), sphs, caps)
+
+    cross = b.add_body("cross", -1, pos=_CROSS_START, mass=0.12,
+                       inertia=(6.5e-05, 6.5e-05, 6.5e-05))
+    b.add_joint("cross_free", cross, JointType.FREE)
+    arm_caps = [b.add_capsule(cross, p0=p0, p1=p1, radius=_CROSS_R,
+                              friction=1.0)
+                for p0, p1 in _CROSS_ARMS]
+    for s in sphs:
+        for c in arm_caps:
+            b.add_pair_sc(s, c)
+    for c in caps:
+        for ac in arm_caps:
+            b.add_pair_cc(c, ac)
+    return b.finalize(dtype=dtype)
+
+
+def reorient_home_qpos(m: Model) -> jax.Array:
+    q = np.zeros(m.nq)
+    q[0:8] = _HOME_ARM
+    q[8:16] = _HOME_ARM
+    q[16:19] = _CROSS_START
+    q[19] = 1.0
+    return jnp.asarray(q, dtype=m.dt.dtype)
+
+
+def _cross_grasp_normal(info: StepInfo, fb: int, ysign, cross_c, cross_R,
+                        dtype):
+    """Summed activated grasp-sphere normals (finger -> nearest cross
+    arm) — the reorient.cc:60-84 contact scan as geometry."""
+    fq = info.xquat[fb]
+    fp = info.xpos[fb]
+    total = jnp.zeros(3, dtype=dtype)
+    any_active = jnp.asarray(False)
+    segs = [(cross_c + cross_R @ jnp.asarray(p0, dtype=dtype),
+             cross_c + cross_R @ jnp.asarray(p1, dtype=dtype))
+            for p0, p1 in _CROSS_ARMS]
+    for gx, gy, gz in _GRASP_PTS:
+        local = jnp.asarray([gx, ysign * gy, gz], dtype=dtype)
+        center = fp + quat_rotate(fq, local)
+        best_d = None
+        best_pt = None
+        for a, bb in segs:
+            ab = bb - a
+            t = jnp.clip(jnp.dot(center - a, ab)
+                         / jnp.maximum(jnp.dot(ab, ab), 1e-12), 0.0, 1.0)
+            pt = a + t * ab
+            d = jnp.linalg.norm(pt - center)
+            if best_d is None:
+                best_d, best_pt = d, pt
+            else:
+                closer = d < best_d
+                best_pt = jnp.where(closer, pt, best_pt)
+                best_d = jnp.minimum(d, best_d)
+        gap = best_d - _CROSS_R - 0.006
+        active = gap < _GRASP_MARGIN
+        direction = best_pt - center
+        direction = direction / jnp.maximum(
+            jnp.linalg.norm(direction), 1e-9)
+        total = total + jnp.where(active, direction, 0.0)
+        any_active = jnp.logical_or(any_active, active)
+    return total, any_active
+
+
+def _reorient_residual(m: Model, task: Task, state: State, info: StepInfo,
+                       ctrl: jax.Array) -> jax.Array:
+    s = m.struct
+    dtype = info.xpos.dtype
+    cid = s.body_id("cross")
+    cross_c = info.xpos[cid]
+    cross_R = quat_to_mat(info.xquat[cid])
+
+    scale = jnp.asarray([1.0, 3.0, 3.0], dtype=dtype)  # reorient.cc:40,47
+    reaches = []
+    for side in ("left", "right"):
+        gl = s.body_id(f"{side}/gripper_link")
+        gpos = info.site_xpos[s.site_id(f"{side}/gripper")]
+        rel = quat_rotate_inv(info.xquat[gl], cross_c - gpos)
+        reaches.append(rel * scale)
+
+    # per-hand grasp scores (NOT the handover geometric mean;
+    # reorient.cc:86-103)
+    grasps = []
+    for side in ("left", "right"):
+        nrm, act = {}, {}
+        for fname, ysign in (("left_finger_link", -1.0),
+                             ("right_finger_link", 1.0)):
+            fb = s.body_id(f"{side}/{fname}")
+            nrm[fname], act[fname] = _cross_grasp_normal(
+                info, fb, ysign, cross_c, cross_R, dtype)
+        both = jnp.logical_and(act["left_finger_link"],
+                               act["right_finger_link"])
+        na = nrm["left_finger_link"]
+        nb = nrm["right_finger_link"]
+        na = na / jnp.maximum(jnp.linalg.norm(na), 1e-9)
+        nb = nb / jnp.maximum(jnp.linalg.norm(nb), 1e-9)
+        grasps.append(jnp.where(both,
+                                0.5 * (jnp.dot(na, nb) + 1.0), 1.0))
+
+    # 18-D cross-point match (reorient.cc:105-141)
+    tpos = task.mocap_pos[0]
+    tR = quat_to_mat(task.mocap_quat[0])
+    outs = []
+    for dim in range(3):
+        for sign in (-1.0, 1.0):
+            tp = tpos + sign * _K_RADIUS * tR[:, dim]
+            op = cross_c + sign * _K_RADIUS * cross_R[:, dim]
+            outs.append(tp - op)
+    bring = jnp.concatenate(outs)
+
+    return jnp.concatenate(
+        [reaches[0], reaches[1], grasps[0][None], grasps[1][None], bring])
+
+
+def _reorient_transition(task: Task, m: Model, state: State,
+                         info: StepInfo) -> Task:
+    """New random goal orientation once matched (reorient.cc:143-166:
+    the reference random-spins its target body on success; the pure-task
+    analog resamples a uniform goal quat)."""
+    res = _reorient_residual(m, task, state, info, jnp.zeros(m.nu))
+    dist = jnp.linalg.norm(res[8:26])
+    solved = jnp.logical_and(state.time > 0, dist < 0.02)
+    tick = jnp.round(state.time * 1e3).astype(jnp.int32)
+    key = jax.random.fold_in(jax.random.PRNGKey(5), tick)
+    dtype = task.mocap_quat.dtype
+    q = jax.random.normal(key, (4,), dtype=dtype)
+    q = q / jnp.linalg.norm(q)
+    newq = jnp.where(solved, q, task.mocap_quat[0])
+    return dataclasses.replace(
+        task, mocap_quat=task.mocap_quat.at[0].set(newq))
+
+
+_REORIENT_TERMS = (
+    TermSpec("Reach L", 3, NormType.L22, num_params=2),
+    TermSpec("Reach R", 3, NormType.L22, num_params=2),
+    TermSpec("Grasp L", 1, NormType.NULL),
+    TermSpec("Grasp R", 1, NormType.NULL),
+    TermSpec("Bring", 18, NormType.L2, num_params=1),
+)
+_REORIENT_WEIGHTS = (0.1, 0.1, 0.05, 0.05, 1.0)   # task.xml:36-40
+_REORIENT_NORM_PARAMS = ((0.05, 4.0), (0.05, 4.0), (0.0, 0.0),
+                         (0.0, 0.0), (0.01, 0.0))
+
+
+def reorient_task(dtype=jnp.float32) -> Task:
+    return make_task("Bimanual Reorient", _REORIENT_TERMS,
+                     _reorient_residual, _REORIENT_WEIGHTS,
+                     norm_params=_REORIENT_NORM_PARAMS,
+                     mocap={"goal": _REORIENT_TARGET},
+                     transition_fn=_reorient_transition, dtype=dtype)

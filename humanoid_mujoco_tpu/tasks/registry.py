@@ -62,8 +62,11 @@ def _register_builtin():
     from ..physics import humanoid_upstream
     from ..physics.humanoid import build_humanoid, stand_qpos
     from .acrobot import acrobot_home_qpos, acrobot_model, acrobot_task
-    from .aloha import aloha_home_qpos, aloha_model, handover_task
+    from .aloha import (aloha_home_qpos, aloha_model, aloha_reorient_model,
+                        handover_task, reorient_home_qpos, reorient_task)
     from .cartpole import cartpole_home_qpos, cartpole_model, cartpole_task
+    from .fingers import fingers_home_qpos, fingers_model, fingers_task
+    from .op3 import op3_home_qpos, op3_model, op3_task
     from .panda import panda_home_qpos, panda_model, panda_task
     from .particle import particle_fixed_task, particle_model, particle_task
     from .quadrotor import quadrotor_home_qpos, quadrotor_model, \
@@ -80,14 +83,19 @@ def _register_builtin():
     register("Acrobot", acrobot_task, acrobot_model, acrobot_home_qpos)
     register("Bimanual Handover", handover_task, aloha_model,
              aloha_home_qpos)
+    register("Bimanual Reorient", reorient_task, aloha_reorient_model,
+             reorient_home_qpos)
     register("Cartpole", cartpole_task, cartpole_model,
              cartpole_home_qpos)
+    register("FreeFingers", fingers_task, fingers_model,
+             fingers_home_qpos)
     register("Humanoid Cap Stand", stand_task, build_humanoid, stand_qpos)
     register("Humanoid Cap Walk", walk_task, build_humanoid, stand_qpos)
     register("Humanoid Stand", h21_stand_task, humanoid21_model,
              humanoid_upstream.stand_qpos)
     register("Humanoid Walk", h21_walk_task, humanoid21_model,
              humanoid_upstream.stand_qpos)
+    register("OP3", op3_task, op3_model, op3_home_qpos)
     register("Panda", panda_task, panda_model, panda_home_qpos)
     register("Particle", particle_task, particle_model)
     register("ParticleFixed", particle_fixed_task, particle_model)

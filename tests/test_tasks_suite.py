@@ -39,7 +39,8 @@ class TestRegistry:
             assert want in names
 
     @pytest.mark.parametrize("name", ["Acrobot", "Cartpole", "Swimmer",
-                                      "Walker"])
+                                      "Walker", "FreeFingers", "OP3",
+                                      "Bimanual Reorient"])
     def test_model_and_residual_dims(self, name):
         """Every task's model builds; residual length == sum of term
         dims (the task_test.cc dim assertion)."""
@@ -366,3 +367,77 @@ class TestWalker:
         final_h = 1.3 + float(res.final_state.qpos[0])
         assert final_h > 1.0, final_h
         assert abs(float(res.final_state.qpos[2])) < 0.5  # still upright
+
+
+class TestOP3:
+    def test_keyframe_height_and_settle(self):
+        """The transcribed OP3 (tools/gen_op3_data.py) reproduces the
+        task keyframe: head-feet height equals the 0.38 Height Goal at
+        'home', and position servos hold the crouch in contact
+        equilibrium (normal force == weight)."""
+        from humanoid_mujoco_tpu.physics.op3_data import KEYFRAMES
+        from humanoid_mujoco_tpu.tasks.op3 import (op3_home_qpos,
+                                                   op3_model, op3_task)
+        m = op3_model()
+        task = op3_task()
+        s = make_state(m, qpos=op3_home_qpos(m))
+        _, _, _, info = forward(m, s, jnp.zeros(m.nu))
+        res = task.residual(m, s, info, jnp.zeros(m.nu))
+        assert abs(float(res[0])) < 0.02       # height err vs goal
+
+        c = jnp.asarray(np.asarray(KEYFRAMES["home"])[7:],
+                        dtype=m.body_pos.dtype)
+
+        @jax.jit
+        def run(s):
+            def body(st, _):
+                st2, inf = step(m, st, c)
+                return st2, (inf.diverged, jnp.sum(inf.contact_force))
+            return jax.lax.scan(body, s, None, length=300)
+
+        s2, (div, fn) = run(s)
+        assert not bool(jnp.any(div))
+        w = float(9.81 * jnp.sum(m.body_mass))
+        np.testing.assert_allclose(float(fn[-1]), w, rtol=0.05)
+
+    def test_mode_transition_sets_height_goal(self):
+        from humanoid_mujoco_tpu.tasks.op3 import (op3_home_qpos,
+                                                   op3_model, op3_task)
+        m = op3_model()
+        s = make_state(m, qpos=op3_home_qpos(m))
+        _, _, _, info = forward(m, s, jnp.zeros(m.nu))
+        t = op3_task().set_mode("Handstand").transition(m, s, info)
+        assert float(t.params[0]) == pytest.approx(0.57)  # kModeHeight[1]
+        t = t.set_mode("Stand").transition(m, s, info)
+        assert float(t.params[0]) == pytest.approx(0.38)
+
+
+class TestBimanualReorient:
+    def test_cross_settles_and_residual(self):
+        from humanoid_mujoco_tpu.tasks.aloha import (aloha_reorient_model,
+                                                     home_ctrl,
+                                                     reorient_home_qpos,
+                                                     reorient_task)
+        m = aloha_reorient_model()
+        task = reorient_task()
+        s = make_state(m, qpos=reorient_home_qpos(m))
+        _, _, _, info = forward(m, s, home_ctrl(m))
+        res = task.residual(m, s, info, home_ctrl(m))
+        assert res.shape == (task.nres,) == (26,)
+        # not grasping at home -> both per-hand scores exactly 1
+        np.testing.assert_allclose(np.asarray(res[6:8]), 1.0)
+
+        c = home_ctrl(m)
+
+        @jax.jit
+        def run(s):
+            def body(st, _):
+                st2, inf = step(m, st, c)
+                return st2, inf.diverged
+            return jax.lax.scan(body, s, None, length=200)
+
+        s2, div = run(s)
+        assert not bool(jnp.any(div))
+        # the cross rests on the table plane (arm radius 0.015 +
+        # center offset)
+        assert 0.01 < float(s2.qpos[18]) < 0.05
