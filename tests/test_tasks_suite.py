@@ -441,3 +441,46 @@ class TestBimanualReorient:
         # the cross rests on the table plane (arm radius 0.015 +
         # center offset)
         assert 0.01 < float(s2.qpos[18]) < 0.05
+
+
+class TestHumanoidTrack:
+    """Mocap-tracking task (tracking.cc): the transcribed humanoid +
+    marker data reproduce the reference's tracking geometry."""
+
+    @pytest.mark.parametrize("mode", [0, 8, 9])   # Jump, Run, Walk
+    def test_clip_start_markers_match_pose(self, mode):
+        """At a clip's first keyframe (its own qpos), the centered
+        marker-vs-site errors are small: the 16 tracking sites
+        (humanoid.xml.patch) line up with the CMU markers."""
+        from humanoid_mujoco_tpu.tasks.humanoid_track import (
+            start_state, track_model, track_task)
+        m = track_model()
+        task = track_task().set_mode(mode)
+        s = start_state(m, mode)
+        _, _, _, info = forward(m, s, jnp.zeros(m.nu))
+        res = task.residual(m, s, info, jnp.zeros(m.nu))
+        assert res.shape == (141,)
+        assert bool(jnp.all(jnp.isfinite(res)))
+        # centroid + per-marker centered errors (SmoothAbs block)
+        assert float(jnp.linalg.norm(res[42:45])) < 0.08
+        assert float(jnp.max(jnp.abs(res[45:93]))) < 0.12
+
+    def test_clip_time_indexing(self):
+        """The residual follows the clip: advancing sim time by 1/30 s
+        moves the marker targets to the next frame (tracking.cc
+        ComputeInterpolationValues)."""
+        import dataclasses
+
+        from humanoid_mujoco_tpu.tasks.humanoid_track import (
+            _frames, track_model, track_task)
+        m = track_model()
+        task = track_task().set_mode(9)            # Walk
+        dtype = jnp.float32
+        f0, _ = _frames(task, jnp.asarray(0.0, dtype), dtype)
+        f1, _ = _frames(task, jnp.asarray(1.0 / 30.0, dtype), dtype)
+        fh, _ = _frames(task, jnp.asarray(0.5 / 30.0, dtype), dtype)
+        # halfway frame is the linear interpolation of the neighbors
+        np.testing.assert_allclose(np.asarray(fh),
+                                   0.5 * (np.asarray(f0)
+                                          + np.asarray(f1)), atol=1e-5)
+        assert float(jnp.max(jnp.abs(f1 - f0))) > 1e-4   # clip moves
