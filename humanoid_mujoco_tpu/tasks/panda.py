@@ -110,10 +110,10 @@ _LINKS = (
 _HOME_ARM = (0.0, 0.3, 0.0, -1.57079, 0.0, 2.0, -0.7853)
 
 
-def panda_model(dt: float = 0.003, dtype=jnp.float32) -> Model:
-    b = ModelBuilder(dt=dt)
-    b.has_floor = True
-
+def build_panda_arm(b: ModelBuilder):
+    """Panda arm + hand + fingers into `b`; returns (eeff site id,
+    fingertip/palm sphere geom ids) — shared by the Panda bring task
+    and manipulation PickAndPlace."""
     base = b.add_body("link0", -1, mass=0.629769,
                       ipos=(-0.041018, -0.00014, 0.049974),
                       inertia=_diag((3.15e-3, 3.88e-3, 4.285e-3,
@@ -149,6 +149,33 @@ def panda_model(dt: float = 0.003, dtype=jnp.float32) -> Model:
         b.add_site(f"tip_{fname}", fb, pos=(0, 0.01, 0.05))
         tips.append(b.add_sphere(fb, pos=(0, 0.008, 0.045), radius=0.009,
                                  friction=1.0))
+    return eeff, tips
+
+
+def add_panda_actuators(b: ModelBuilder, eeff: int):
+    """The reference's 6 Cartesian eeff wrench actuators + finger
+    position servos (panda_modified.xml actuator block)."""
+    for i in range(3):
+        g = [0.0] * 6
+        g[i] = 10.0
+        b.add_thrust(eeff, gear=tuple(g), ctrlrange=(-1, 1),
+                     forcerange=(-1e9, 1e9), world_frame=True)
+    for i in range(3):
+        g = [0.0] * 6
+        g[3 + i] = 1.0
+        b.add_thrust(eeff, gear=tuple(g), ctrlrange=(-1, 1),
+                     forcerange=(-1e9, 1e9), world_frame=True)
+    for j, jd in enumerate(b._joints):
+        if jd["name"].endswith("finger_joint"):
+            b.add_actuator(j, ActuatorType.POSITION, gear=1.0, kp=100.0,
+                           kv=5.0, ctrlrange=(0.0, 0.04),
+                           forcerange=(-100.0, 100.0))
+
+
+def panda_model(dt: float = 0.003, dtype=jnp.float32) -> Model:
+    b = ModelBuilder(dt=dt)
+    b.has_floor = True
+    eeff, tips = build_panda_arm(b)
 
     box = b.add_body("box", -1, pos=_BOX_START, mass=0.096,
                      inertia=(4.16e-5, 2.56e-5, 4.16e-5))
@@ -163,26 +190,7 @@ def panda_model(dt: float = 0.003, dtype=jnp.float32) -> Model:
         for c in corners:
             b.add_pair(t, c)
 
-    # the reference's 6 Cartesian eeff actuators (panda_modified.xml
-    # actuator block): world-frame unit wrenches, gain 10 (force) / 1
-    # (torque), ctrl in [-1, 1]
-    for i in range(3):
-        g = [0.0] * 6
-        g[i] = 10.0
-        b.add_thrust(eeff, gear=tuple(g), ctrlrange=(-1, 1),
-                     forcerange=(-1e9, 1e9), world_frame=True)
-    for i in range(3):
-        g = [0.0] * 6
-        g[3 + i] = 1.0
-        b.add_thrust(eeff, gear=tuple(g), ctrlrange=(-1, 1),
-                     forcerange=(-1e9, 1e9), world_frame=True)
-    # gripper: position servos on the finger slides (intvelocity
-    # split-tendon analog)
-    for j, jd in enumerate(b._joints):
-        if jd["name"].endswith("finger_joint"):
-            b.add_actuator(j, ActuatorType.POSITION, gear=1.0, kp=100.0,
-                           kv=5.0, ctrlrange=(0.0, 0.04),
-                           forcerange=(-100.0, 100.0))
+    add_panda_actuators(b, eeff)
     return b.finalize(dtype=dtype)
 
 

@@ -69,6 +69,8 @@ def _register_builtin():
     from .op3 import op3_home_qpos, op3_model, op3_task
     from .panda import panda_home_qpos, panda_model, panda_task
     from .particle import particle_fixed_task, particle_model, particle_task
+    from .pickplace import (pickplace_home_qpos, pickplace_model,
+                            pickplace_task)
     from .quadrotor import quadrotor_home_qpos, quadrotor_model, \
         quadrotor_task
     from .quadruped import quadruped_home_qpos, quadruped_model, \
@@ -102,6 +104,8 @@ def _register_builtin():
     register("OP3", op3_task, op3_model, op3_home_qpos)
     register("Panda", panda_task, panda_model, panda_home_qpos)
     register("Particle", particle_task, particle_model)
+    register("PickAndPlace", pickplace_task, pickplace_model,
+             pickplace_home_qpos)
     register("ParticleFixed", particle_fixed_task, particle_model)
     register("Quadrotor", quadrotor_task, quadrotor_model,
              quadrotor_home_qpos)
