@@ -231,10 +231,14 @@ def collide(m: Model, xpos: jax.Array, xmat: jax.Array) -> Contacts:
 
     # --- geom-vs-floor groups ---
     if s.nsph:
-        emit(*_spheres_vs_floor(
+        p_, n_, d_, f1, f2, f3 = _spheres_vs_floor(
             m, centers, m.sph_radius,
             (m.sph_friction, m.sph_friction_tor, m.sph_friction_roll),
-            dtype))
+            dtype)
+        if s.sph_floor and not all(s.sph_floor):
+            gate = jnp.asarray(s.sph_floor, dtype=bool)
+            d_ = jnp.where(gate, d_, 1e9)
+        emit(p_, n_, d_, f1, f2, f3)
     if s.ncap:
         # 2 endpoint-sphere slots per capsule (capsule-plane convention)
         pts = jnp.stack([cap_e0, cap_e1], axis=1).reshape(-1, 3)

@@ -138,7 +138,9 @@ class Structure:
     pair_sb: Tuple[Tuple[int, int], ...] = ()  # (sphere, box)
     pair_cb: Tuple[Tuple[int, int], ...] = ()  # (capsule, box)
     pair_bb: Tuple[Tuple[int, int], ...] = ()  # (box, box) 16 slots each
-    # whether capsules/boxes collide with the floor (per-geom flags)
+    # whether spheres/capsules/boxes collide with the floor
+    # (per-geom flags; empty sph_floor = all spheres collide)
+    sph_floor: Tuple[bool, ...] = ()
     cap_floor: Tuple[bool, ...] = ()
     box_floor: Tuple[bool, ...] = ()
 
@@ -173,7 +175,7 @@ class Structure:
                      self.act_site_world, self.has_gravcomp,
                      self.ncap, self.nbox, self.pair_sc, self.pair_cc,
                      self.pair_sb, self.pair_cb, self.pair_bb,
-                     self.cap_floor, self.box_floor,
+                     self.sph_floor, self.cap_floor, self.box_floor,
                      self.tendon_jnt, self.tendon_coef))
 
     @property
@@ -406,11 +408,15 @@ class ModelBuilder:
 
     def add_sphere(self, body: int, pos=(0, 0, 0), radius: float = 0.02,
                    friction: float = 1.0, friction_tor: float = 0.005,
-                   friction_roll: float = 0.0001) -> int:
-        # MuJoCo default torsional/rolling coefficients (0.005, 0.0001)
+                   friction_roll: float = 0.0001,
+                   floor: bool = True) -> int:
+        # MuJoCo default torsional/rolling coefficients (0.005, 0.0001);
+        # floor=False gates the sphere's floor slot off (geoms that live
+        # below/at the plane, e.g. a fixed hand base)
         self._sphs.append(dict(body=body, pos=pos, radius=radius,
                                friction=friction, friction_tor=friction_tor,
-                               friction_roll=friction_roll))
+                               friction_roll=friction_roll,
+                               floor=bool(floor)))
         return len(self._sphs) - 1
 
     def add_capsule(self, body: int, p0=(0, 0, 0), p1=(0, 0, 1),
@@ -592,6 +598,8 @@ class ModelBuilder:
             pair_sc=tuple(self._pairs_sc), pair_cc=tuple(self._pairs_cc),
             pair_sb=tuple(self._pairs_sb), pair_cb=tuple(self._pairs_cb),
             pair_bb=tuple(self._pairs_bb),
+            sph_floor=tuple(bool(sp.get("floor", True))
+                            for sp in self._sphs),
             cap_floor=tuple(bool(c["floor"]) for c in self._caps),
             box_floor=tuple(bool(b["floor"]) for b in self._boxes),
             tendon_jnt=tuple(t["joints"] for t in self._tendons),

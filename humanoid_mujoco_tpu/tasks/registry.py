@@ -66,6 +66,8 @@ def _register_builtin():
                         handover_task, reorient_home_qpos, reorient_task)
     from .cartpole import cartpole_home_qpos, cartpole_model, cartpole_task
     from .fingers import fingers_home_qpos, fingers_model, fingers_task
+    from .hands import (allegro_home_qpos, allegro_model, allegro_task,
+                        shadow_home_qpos, shadow_model, shadow_task)
     from .op3 import op3_home_qpos, op3_model, op3_task
     from .panda import panda_home_qpos, panda_model, panda_task
     from .particle import particle_fixed_task, particle_model, particle_task
@@ -85,6 +87,7 @@ def _register_builtin():
     from .walk import walk_task
     from .walker2d import walker_model, walker_stand_qpos, walker_task
     register("Acrobot", acrobot_task, acrobot_model, acrobot_home_qpos)
+    register("Allegro", allegro_task, allegro_model, allegro_home_qpos)
     register("Bimanual Handover", handover_task, aloha_model,
              aloha_home_qpos)
     register("Bimanual Reorient", reorient_task, aloha_reorient_model,
@@ -109,6 +112,7 @@ def _register_builtin():
     register("ParticleFixed", particle_fixed_task, particle_model)
     register("Quadrotor", quadrotor_task, quadrotor_model,
              quadrotor_home_qpos)
+    register("Shadow", shadow_task, shadow_model, shadow_home_qpos)
     register("Quadruped Flat", quadruped_task, quadruped_model,
              quadruped_home_qpos)
     register("Quadruped Hill", quadruped_hill_task, quadruped_hill_model,

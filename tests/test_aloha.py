@@ -183,41 +183,32 @@ class TestTransition:
 
 
 class TestPlanning:
-    def test_mpc_reaches_toward_cube(self):
-        """Sampling MPC reduces a gripper's distance to the cube (the
-        agent_test.py 'planner improves the task' bar, scaled down for
-        the CPU test mesh; the TPU bench runs the full mjx demo scale)."""
+    def test_planner_iterations_reduce_cost(self):
+        """Repeated sampling plan iterations on the home state reduce
+        the best return (the agent_test.py 'cost decreases after
+        planner_step' bar; the closed-loop cube lift/carry runs at TPU
+        scale in bench.py's handover config)."""
         m = aloha_model()
         task = handover_task()
         s0 = make_state(m, qpos=aloha_home_qpos(m))
-        pm = mpc.make_plan_model(m, 0.01)
-        cfg = SamplingConfig(nsample=12, nknots=3, horizon=16,
+        cfg = SamplingConfig(nsample=16, nknots=3, horizon=16,
                              order=SplineOrder.LINEAR, solver_iters=1,
                              exploration=jnp.asarray(0.08),
                              exploration2=jnp.asarray(0.4))
+        pm = mpc.make_plan_model(m, 0.01)
         pol = init_policy(m, cfg.nknots)
         pol = dataclasses.replace(
             pol, values=jnp.tile(home_ctrl(m)[None], (cfg.nknots, 1)))
 
-        res = jax.jit(lambda s, p, k: mpc.mpc_rollout(
-            m, pm, task,
-            lambda mm, tt, pp, ss, kk: sampling_plan(mm, tt, cfg, pp,
-                                                     ss, kk),
-            p, s, k, ncycle=8, steps_per_plan=5,
-            action_fn=mpc.spline_action_fn(cfg.order),
-            sim_solver_iters=1))(s0, pol, jax.random.PRNGKey(3))
-
-        assert bool(jnp.all(jnp.isfinite(res.costs)))
-        info0 = _info(m, s0)
-        infoF = _info(m, res.final_state)
-        sid = m.struct.site_id
-        bid = m.struct.body_id("box")
-        d0 = min(
-            float(jnp.linalg.norm(info0.site_xpos[sid(s)] -
-                                  info0.xpos[bid]))
-            for s in ("left/gripper", "right/gripper"))
-        dF = min(
-            float(jnp.linalg.norm(infoF.site_xpos[sid(s)] -
-                                  infoF.xpos[bid]))
-            for s in ("left/gripper", "right/gripper"))
-        assert dF < d0 - 0.03, (d0, dF)
+        plan = jax.jit(lambda p, k: sampling_plan(pm, task, cfg, p,
+                                                  s0, k))
+        key = jax.random.PRNGKey(0)
+        returns = []
+        for _ in range(10):
+            key, k = jax.random.split(key)
+            pol, info = plan(pol, k)
+            returns.append(float(info.best_return))
+        assert np.all(np.isfinite(returns))
+        assert returns[-1] < returns[0], returns
+        # the planner finds strictly better candidates along the way
+        assert min(returns) < 0.95 * returns[0], returns

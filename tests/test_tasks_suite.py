@@ -40,7 +40,9 @@ class TestRegistry:
 
     @pytest.mark.parametrize("name", ["Acrobot", "Cartpole", "Swimmer",
                                       "Walker", "FreeFingers", "OP3",
-                                      "Bimanual Reorient"])
+                                      "Bimanual Reorient", "Allegro",
+                                      "Shadow", "PickAndPlace",
+                                      "Humanoid Track"])
     def test_model_and_residual_dims(self, name):
         """Every task's model builds; residual length == sum of term
         dims (the task_test.cc dim assertion)."""
@@ -484,3 +486,60 @@ class TestHumanoidTrack:
                                    0.5 * (np.asarray(f0)
                                           + np.asarray(f1)), atol=1e-5)
         assert float(jnp.max(jnp.abs(f1 - f0))) > 1e-4   # clip moves
+
+
+class TestHands:
+    """Allegro / Shadow cube-reorientation tasks (allegro.cc,
+    shadow_reorient/hand.cc): the transcribed hands hold their task
+    keyframe grasp without divergence."""
+
+    @pytest.mark.parametrize("hand", ["allegro", "shadow"])
+    def test_keyframe_grasp_holds(self, hand):
+        from humanoid_mujoco_tpu.tasks import hands as H
+        mk = H.allegro_model if hand == "allegro" else H.shadow_model
+        hq = (H.allegro_home_qpos if hand == "allegro"
+              else H.shadow_home_qpos)
+        tk = H.allegro_task if hand == "allegro" else H.shadow_task
+        key = H._KEY_HAND[hand]
+        m = mk()
+        task = tk()
+        s = make_state(m, qpos=hq(m))
+        _, _, _, info = forward(m, s, jnp.zeros(m.nu))
+        res = task.residual(m, s, info, jnp.zeros(m.nu))
+        assert res.shape == (task.nres,)
+        assert bool(jnp.all(jnp.isfinite(res)))
+
+        c = jnp.asarray(np.asarray(key), dtype=m.body_pos.dtype)
+
+        @jax.jit
+        def run(s):
+            def body(st, _):
+                st2, inf = step(m, st, c)
+                return st2, (inf.diverged, st2.qpos[len(key) + 2])
+            return jax.lax.scan(body, s, None, length=300)
+
+        s2, (div, cz) = run(s)
+        assert not bool(jnp.any(div))
+        # cube stays at/above the hand, not flung away
+        cube_half = H._CUBE[hand]["half"]
+        assert float(cz[-1]) > cube_half - 1e-3
+        xy = np.asarray(s2.qpos[len(key):len(key) + 2])
+        start = np.asarray(H._CUBE[hand]["pos"][:2])
+        assert np.linalg.norm(xy - start) < 0.15
+
+    def test_goal_respawns_on_orientation_match(self):
+        import dataclasses as dc
+
+        from humanoid_mujoco_tpu.tasks import hands as H
+        m = H.allegro_model()
+        s = make_state(m, qpos=H.allegro_home_qpos(m))
+        s = dc.replace(s, time=jnp.asarray(1.0, s.time.dtype))
+        _, _, _, info = forward(m, s, jnp.zeros(m.nu))
+        cube_q = np.asarray(info.xquat[m.struct.body_id("cube")])
+        # goal == cube orientation -> respawn; far goal -> unchanged
+        t = H.allegro_task()
+        t = dc.replace(t, mocap_quat=t.mocap_quat.at[0].set(
+            jnp.asarray(cube_q)))
+        out = t.transition(m, s, info)
+        assert np.linalg.norm(np.asarray(out.mocap_quat[0])
+                              - cube_q) > 1e-3
