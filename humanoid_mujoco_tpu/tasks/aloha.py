@@ -247,15 +247,16 @@ def home_ctrl(m: Model) -> jax.Array:
 
 
 def _finger_grasp_normal(info: StepInfo, fb: int, ysign, box_c, box_R,
-                         dtype):
-    """Summed activated grasp-sphere normals (finger -> cube) and an
+                         dtype, half_xyz=None):
+    """Summed activated grasp-sphere normals (finger -> box) and an
     any-active flag for one finger — the handover.cc:78-99 contact scan
     as closed-form geometry with the 0.02 m activation margin."""
     fq = info.xquat[fb]
     fp = info.xpos[fb]
     total = jnp.zeros(3, dtype=dtype)
     any_active = jnp.asarray(False)
-    half = jnp.asarray([_CUBE_HALF] * 3, dtype=dtype)
+    half = jnp.asarray(half_xyz if half_xyz is not None
+                       else [_CUBE_HALF] * 3, dtype=dtype)
     for gx, gy, gz in _GRASP_PTS:
         local = jnp.asarray([gx, ysign * gy, gz], dtype=dtype)
         center = fp + quat_rotate(fq, local)
@@ -546,3 +547,181 @@ def reorient_task(dtype=jnp.float32) -> Task:
                      norm_params=_REORIENT_NORM_PARAMS,
                      mocap={"goal": _REORIENT_TARGET},
                      transition_fn=_reorient_transition, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Bimanual Insert (mjpc/tasks/bimanual/insert/{insert.cc,task.xml})
+# ---------------------------------------------------------------------------
+# Two connector halves on the table: the left hand grasps the female,
+# the right the male, lifts both to the target height and mates them —
+# the insert residual matches ad-hoc 6-point crosses of the two
+# connector sites (insert.cc:149-186, kRadius 0.08). Connector bodies
+# carry the mujoco-compiled masses/inertias; the multi-box connector
+# shells reduce to their grip boxes (the surfaces the grasp cost and
+# fingers actually use — the socket/plug mating is scored by the cost
+# cross, not contact).
+
+_GRIP_HALF = (0.025, 0.0195, 0.0065)          # connector_x_grip boxes
+_F_GRIP_POS = (0.0, 0.0, -0.0065)
+_M_GRIP_POS = (0.0, 0.0, 0.012838796)
+# grip-site frames (xyaxes in the connector XMLs)
+_F_GRIP_QUAT = (0.7071068, 0.0, 0.7071068, 0.0)
+_M_GRIP_QUAT = (0.7071068, 0.0, -0.7071068, 0.0)
+_F_SITE_POS = (0.0, 0.0, 0.018)               # mating site (female)
+_M_SITE_POS = (0.0, 0.0, -0.018)              # mating site (male)
+_INSERT_RADIUS = 0.08                         # kRadius (insert.cc:158)
+_INSERT_TARGET = (0.0, 0.0, 0.35)             # keyframe mpos
+_F_START = (-0.15, 0.0, 0.05)
+_F_START_QUAT = (0.0, 1.0, 0.0, 0.0)
+_M_START = (0.15, 0.0, 0.05)
+
+
+def aloha_insert_model(dt: float = 0.01, max_contacts: int = 16,
+                       dtype=jnp.float32) -> Model:
+    b = ModelBuilder(dt=dt)
+    b.has_floor = True
+    b.floor_z = 0.0
+    b.sol_iter = 6
+    b.max_contacts = max_contacts
+
+    sphs: list[int] = []
+    caps: list[int] = []
+    _build_arm(b, "left", (-0.469, -0.019, 0.02), (1, 0, 0, 0), sphs, caps)
+    _build_arm(b, "right", (0.469, -0.019, 0.02), (0, 0, 0, 1), sphs, caps)
+
+    boxes = []
+    for name, start, quat, mass, diag, grip_pos in (
+            ("connector_f", _F_START, _F_START_QUAT, 0.0358,
+             (1.5e-05, 1.49e-05, 9.41e-06), _F_GRIP_POS),
+            ("connector_m", _M_START, (1, 0, 0, 0), 0.0701,
+             (2.67e-05, 2.28e-05, 1.57e-05), _M_GRIP_POS)):
+        body = b.add_body(name, -1, pos=start, quat=quat, mass=mass,
+                          inertia=diag)
+        b.add_joint(f"{name}_free", body, JointType.FREE)
+        boxes.append(b.add_box(body, pos=grip_pos, size=_GRIP_HALF,
+                               friction=0.5, floor=True))
+        b.add_site(f"{name}_grip", body, pos=grip_pos)
+        b.add_site(name, body,
+                   pos=_F_SITE_POS if name == "connector_f"
+                   else _M_SITE_POS)
+    for s in sphs:
+        for bx in boxes:
+            b.add_pair_sb(s, bx)
+    for c in caps:
+        for bx in boxes:
+            b.add_pair_cb(c, bx)
+    return b.finalize(dtype=dtype)
+
+
+def insert_home_qpos(m: Model) -> jax.Array:
+    q = np.zeros(m.nq)
+    q[0:8] = _HOME_ARM
+    q[8:16] = _HOME_ARM
+    q[16:19] = _F_START
+    q[19:23] = _F_START_QUAT
+    q[23:26] = _M_START
+    q[26] = 1.0
+    return jnp.asarray(q, dtype=m.dt.dtype)
+
+
+def _site_frame(info: StepInfo, m: Model, body: str, local_pos,
+                local_quat, dtype):
+    """World position + rotation of an ORIENTED site (sites store
+    positions only; the fixed site orientation composes here)."""
+    bid = m.struct.body_id(body)
+    bq = info.xquat[bid]
+    pos = info.xpos[bid] + quat_rotate(
+        bq, jnp.asarray(local_pos, dtype=dtype))
+    from ..physics.math import quat_mul
+    R = quat_to_mat(quat_mul(bq, jnp.asarray(local_quat, dtype=dtype)))
+    return pos, R
+
+
+def _insert_residual(m: Model, task: Task, state: State, info: StepInfo,
+                     ctrl: jax.Array) -> jax.Array:
+    s = m.struct
+    dtype = info.xpos.dtype
+
+    fg_pos, fg_R = _site_frame(info, m, "connector_f", _F_GRIP_POS,
+                               _F_GRIP_QUAT, dtype)
+    mg_pos, mg_R = _site_frame(info, m, "connector_m", _M_GRIP_POS,
+                               _M_GRIP_QUAT, dtype)
+
+    # reach: grip geoms in the gripper-site frames (insert.cc:36-46)
+    reaches = []
+    for side, gpos_w in (("left", fg_pos), ("right", mg_pos)):
+        gl = s.body_id(f"{side}/gripper_link")
+        gsite = info.site_xpos[s.site_id(f"{side}/gripper")]
+        reaches.append(quat_rotate_inv(info.xquat[gl], gpos_w - gsite))
+
+    # per-hand grasp with frame alignment (insert.cc:100-130):
+    # grasp = (contact_misalign + 2 * frame_misalign + 3) / 6
+    grasps = []
+    for side, grip_c, grip_R, ysign_x in (
+            ("left", fg_pos, fg_R, None), ("right", mg_pos, mg_R, None)):
+        nrm, act = {}, {}
+        for fname, ysign in (("left_finger_link", -1.0),
+                             ("right_finger_link", 1.0)):
+            fb = s.body_id(f"{side}/{fname}")
+            nrm[fname], act[fname] = _finger_grasp_normal(
+                info, fb, ysign, grip_c, grip_R, dtype,
+                half_xyz=_GRIP_HALF)
+        both = jnp.logical_and(act["left_finger_link"],
+                               act["right_finger_link"])
+        na = nrm["left_finger_link"]
+        nb = nrm["right_finger_link"]
+        na = na / jnp.maximum(jnp.linalg.norm(na), 1e-9)
+        nb = nb / jnp.maximum(jnp.linalg.norm(nb), 1e-9)
+        con = jnp.dot(na, nb)
+        gl = s.body_id(f"{side}/gripper_link")
+        grip_x = quat_rotate(info.xquat[gl],
+                             jnp.asarray([1.0, 0, 0], dtype=dtype))
+        frame = jnp.dot(grip_x, grip_R[:, 0])
+        grasps.append(jnp.where(both, (con + 2.0 * frame + 3.0) / 6.0,
+                                1.0))
+
+    # lift: both mating sites toward the target, xy downweighted
+    # (insert.cc:132-147)
+    f_site, f_R = _site_frame(info, m, "connector_f", _F_SITE_POS,
+                              (1.0, 0, 0, 0), dtype)
+    m_site, m_R = _site_frame(info, m, "connector_m", _M_SITE_POS,
+                              (1.0, 0, 0, 0), dtype)
+    target = task.mocap_pos[0]
+    # the reference scales components [1] and [2] by 0.1 (its comment
+    # says xy matter less than z; the code as written scales y,z —
+    # kept verbatim, insert.cc:140-147)
+    scale = jnp.asarray([1.0, 0.1, 0.1], dtype=dtype)
+    lift = jnp.concatenate([(m_site - target) * scale,
+                            (f_site - target) * scale])
+
+    # insert: 18-D cross match between the mating-site frames
+    outs = []
+    for dim in range(3):
+        for sign in (-1.0, 1.0):
+            mp = m_site + sign * _INSERT_RADIUS * m_R[:, dim]
+            fp = f_site + sign * _INSERT_RADIUS * f_R[:, dim]
+            outs.append(mp - fp)
+    insert = jnp.concatenate(outs)
+
+    return jnp.concatenate(
+        [reaches[0], reaches[1], grasps[0][None], grasps[1][None], lift,
+         insert])
+
+
+_INSERT_TERMS = (
+    TermSpec("Reach L", 3, NormType.L2, num_params=1),
+    TermSpec("Reach R", 3, NormType.L2, num_params=1),
+    TermSpec("Grasp L", 1, NormType.NULL),
+    TermSpec("Grasp R", 1, NormType.NULL),
+    TermSpec("Lift", 6, NormType.SMOOTH_ABS, num_params=1),
+    TermSpec("Insert", 18, NormType.L2, num_params=1),
+)
+_INSERT_WEIGHTS = (0.3, 0.3, 0.4, 0.4, 0.7, 0.4)   # task.xml:34-39
+_INSERT_NORM_PARAMS = ((0.01, 0.0), (0.01, 0.0), (0.0, 0.0),
+                       (0.0, 0.0), (0.05, 0.0), (0.01, 0.0))
+
+
+def insert_task(dtype=jnp.float32) -> Task:
+    return make_task("Bimanual Insert", _INSERT_TERMS, _insert_residual,
+                     _INSERT_WEIGHTS, norm_params=_INSERT_NORM_PARAMS,
+                     mocap={"target": _INSERT_TARGET}, dtype=dtype)

@@ -62,8 +62,10 @@ def _register_builtin():
     from ..physics import humanoid_upstream
     from ..physics.humanoid import build_humanoid, stand_qpos
     from .acrobot import acrobot_home_qpos, acrobot_model, acrobot_task
-    from .aloha import (aloha_home_qpos, aloha_model, aloha_reorient_model,
-                        handover_task, reorient_home_qpos, reorient_task)
+    from .aloha import (aloha_home_qpos, aloha_insert_model, aloha_model,
+                        aloha_reorient_model, handover_task,
+                        insert_home_qpos, insert_task,
+                        reorient_home_qpos, reorient_task)
     from .cartpole import cartpole_home_qpos, cartpole_model, cartpole_task
     from .fingers import fingers_home_qpos, fingers_model, fingers_task
     from .hands import (allegro_home_qpos, allegro_model, allegro_task,
@@ -90,6 +92,8 @@ def _register_builtin():
     register("Allegro", allegro_task, allegro_model, allegro_home_qpos)
     register("Bimanual Handover", handover_task, aloha_model,
              aloha_home_qpos)
+    register("Bimanual Insert", insert_task, aloha_insert_model,
+             insert_home_qpos)
     register("Bimanual Reorient", reorient_task, aloha_reorient_model,
              reorient_home_qpos)
     register("Cartpole", cartpole_task, cartpole_model,
