@@ -29,11 +29,14 @@ STAND_HEIGHT = 1.282
 
 
 def build_humanoid21(dtype=jnp.float32, dt: float = 0.002,
-                     max_contacts: int = 16) -> Model:
+                     max_contacts: int = 16, extend=None) -> Model:
     """Build the 21-DOF humanoid. `max_contacts` caps the contact slots
     entering the Newton solve (top-k most penetrating of the 35 static
     floor slots); standing uses ~8, so 16 is exact in normal operation
-    while halving constraint rows."""
+    while halving constraint rows.
+
+    `extend(builder, body_ids)` runs before finalize — scene tasks
+    (humanoid/interact) attach furniture and extra contact pairs."""
     b = ModelBuilder(dt=dt)
     b.hfield_shape = (2, 2)
     b.hfield_halfsize = (50.0, 50.0)
@@ -79,6 +82,8 @@ def build_humanoid21(dtype=jnp.float32, dt: float = 0.002,
         b.add_tendon_limit([joint_ids[j] for j in t["joints"]],
                            t["coefs"], t["range"])
 
+    if extend is not None:
+        extend(b, body_ids)
     return b.finalize(dtype=dtype)
 
 

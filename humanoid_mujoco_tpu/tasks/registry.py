@@ -82,6 +82,8 @@ def _register_builtin():
     from .quadruped_hill import quadruped_hill_model, quadruped_hill_task
     from .humanoid21 import (h21_stand_task, h21_walk_task,
                              humanoid21_model)
+    from .interact import (interact_home_qpos, interact_model,
+                           interact_task)
     from .humanoid_track import start_state as _track_start
     from .humanoid_track import track_model, track_task
     from .stand import stand_task
@@ -108,6 +110,8 @@ def _register_builtin():
              humanoid_upstream.stand_qpos)
     register("Humanoid Track", track_task, track_model,
              lambda m: _track_start(m, 0).qpos)
+    register("Humanoid Interact", interact_task, interact_model,
+             interact_home_qpos)
     register("OP3", op3_task, op3_model, op3_home_qpos)
     register("Panda", panda_task, panda_model, panda_home_qpos)
     register("Particle", particle_task, particle_model)
