@@ -79,6 +79,7 @@ def _register_builtin():
         quadrotor_task
     from .quadruped import quadruped_home_qpos, quadruped_model, \
         quadruped_task
+    from .rubik import rubik_home_qpos, rubik_model, rubik_task
     from .quadruped_hill import quadruped_hill_model, quadruped_hill_task
     from .humanoid21 import (h21_stand_task, h21_walk_task,
                              humanoid21_model)
@@ -120,6 +121,7 @@ def _register_builtin():
     register("ParticleFixed", particle_fixed_task, particle_model)
     register("Quadrotor", quadrotor_task, quadrotor_model,
              quadrotor_home_qpos)
+    register("Rubik", rubik_task, rubik_model, rubik_home_qpos)
     register("Shadow", shadow_task, shadow_model, shadow_home_qpos)
     register("Quadruped Flat", quadruped_task, quadruped_model,
              quadruped_home_qpos)

@@ -30,19 +30,29 @@ from humanoid_mujoco_tpu.tasks.walker2d import (walker_model,
 
 
 class TestRegistry:
-    def test_all_tasks_registered(self):
+    def test_full_reference_registry_parity(self):
+        """Every task the reference registers (tasks/tasks.cc:48-75)
+        has an entry here — the 24-task line-by-line inventory."""
         names = registry.list_tasks()
-        for want in ("Acrobot", "Cartpole", "Humanoid Cap Stand",
-                     "Humanoid Cap Walk", "Particle", "ParticleFixed",
-                     "Quadrotor", "Quadruped Flat", "Quadruped Hill",
-                     "Swimmer", "Walker"):
-            assert want in names
+        reference_24 = (
+            "Acrobot", "Allegro", "Bimanual Handover", "Bimanual Insert",
+            "Bimanual Reorient", "Cartpole", "FreeFingers",
+            "Humanoid Cap Stand", "Humanoid Interact", "Humanoid Stand",
+            "Humanoid Track", "Humanoid Walk", "PickAndPlace", "OP3",
+            "Panda", "Particle", "ParticleFixed", "Rubik", "Shadow",
+            "Quadrotor", "Quadruped Flat", "Quadruped Hill", "Swimmer",
+            "Walker")
+        assert len(reference_24) == 24
+        missing = [n for n in reference_24 if n not in names]
+        assert not missing, missing
 
     @pytest.mark.parametrize("name", ["Acrobot", "Cartpole", "Swimmer",
                                       "Walker", "FreeFingers", "OP3",
                                       "Bimanual Reorient", "Allegro",
                                       "Shadow", "PickAndPlace",
-                                      "Humanoid Track"])
+                                      "Humanoid Track", "Rubik",
+                                      "Humanoid Interact",
+                                      "Bimanual Insert"])
     def test_model_and_residual_dims(self, name):
         """Every task's model builds; residual length == sum of term
         dims (the task_test.cc dim assertion)."""
