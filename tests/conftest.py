@@ -25,3 +25,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module. A full-suite
+    run accumulates hundreds of XLA:CPU executables in one process and
+    has segfaulted inside backend_compile deep into the run (same spot
+    twice); modules share almost no jits, so dropping the caches costs
+    nothing and keeps the process footprint flat."""
+    yield
+    jax.clear_caches()
