@@ -3,13 +3,23 @@ end-to-end under MPC (the reference's planner end-to-end bar,
 mjpc/test/sampling_planner/sampling_planner_test.cc + ilqg_test.cc,
 round-3 verdict weak #5). Scaled to the CPU test mesh; the TPU-scale
 versions live in experiments/ (quadruped_circuit.py runs the full
-waypoint lap)."""
+waypoint lap).
+
+The quadruped and panda closed loops are opt-in (HMT_HEAVY_TESTS=1):
+their XLA:CPU compiles run tens of minutes on a small host (the
+quadruped's hfield model under the iLQG jacfwd especially), which
+stalls a full-suite run; both configs are validated end-to-end on the
+real chip (probe numbers in the assertions' comments and
+experiments/runs/quadruped_circuit/)."""
+
+import os
 
 import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from humanoid_mujoco_tpu import mpc
 from humanoid_mujoco_tpu.ops.spline import SplineOrder
@@ -58,7 +68,14 @@ class TestWalkerAtSpeed:
         assert z.min() > -0.7, z.min()
 
 
+_HEAVY = pytest.mark.skipif(
+    os.environ.get("HMT_HEAVY_TESTS") != "1",
+    reason="tens-of-minutes XLA:CPU compile; validated on-chip "
+           "(HMT_HEAVY_TESTS=1 to run; see experiments/)")
+
+
 class TestQuadrupedCircuit:
+    @_HEAVY
     def test_walks_the_waypoint_ring(self):
         """Quadruped Hill's success predicate is advancing waypoints
         (QuadrupedHill::TransitionLocked tolerance gate,
@@ -102,6 +119,7 @@ class TestQuadrupedCircuit:
 
 
 class TestPandaBring:
+    @_HEAVY
     def test_brings_box_until_target_respawns(self):
         """Panda's success predicate is the bring tolerance that
         respawns the target (panda.cc:74-99: mean face distance
