@@ -55,24 +55,33 @@ class Contacts:
 
 
 def hfield_height(m: Model, xy: jax.Array) -> jax.Array:
-    """Bilinear floor height at world (x, y); xy: (..., 2) -> (...)."""
+    """Bilinear floor height at world (x, y); xy: (..., 2) -> (...).
+
+    GATHER-FREE: bilinear interpolation as tent-weight contractions
+    w_i = max(0, 1 - |g - i|), h = wy^T H wx — exactly the 4-corner
+    bilinear value (the tent kernel is (1-f) at floor(g), f at ceil(g),
+    0 elsewhere), but with no dynamic indexing. At rollout batch sizes
+    the old 4-corner dynamic gathers per query were a dominant cost of
+    `collide` on TPU (round-5 profile); contractions against the small
+    grid fuse into the surrounding elementwise work instead.
+    """
     nr, nc = m.struct.nhrow, m.struct.nhcol
     hx, hy = m.hfield_halfsize[0], m.hfield_halfsize[1]
+    dtype = xy.dtype
     # grid: data[i, j] at x = -hx + j*2hx/(nc-1), y = -hy + i*2hy/(nr-1)
     gx = (xy[..., 0] + hx) / (2 * hx) * (nc - 1)
     gy = (xy[..., 1] + hy) / (2 * hy) * (nr - 1)
     gx = jnp.clip(gx, 0.0, nc - 1.000001)
     gy = jnp.clip(gy, 0.0, nr - 1.000001)
-    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, nc - 2)
-    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, nr - 2)
-    fx = gx - x0
-    fy = gy - y0
-    h00 = m.hfield_data[y0, x0]
-    h01 = m.hfield_data[y0, x0 + 1]
-    h10 = m.hfield_data[y0 + 1, x0]
-    h11 = m.hfield_data[y0 + 1, x0 + 1]
-    h = (h00 * (1 - fx) * (1 - fy) + h01 * fx * (1 - fy)
-         + h10 * (1 - fx) * fy + h11 * fx * fy)
+    ix = jnp.arange(nc, dtype=dtype)
+    iy = jnp.arange(nr, dtype=dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - ix))   # (..., nc)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - iy))   # (..., nr)
+    # full-f32 accumulation: bf16-pass matmul rounding (~1e-3 of the
+    # bump height) is coarser than contact-gap scales
+    hrow = jnp.einsum("...r,rc->...c", wy, m.hfield_data,
+                      precision=jax.lax.Precision.HIGHEST)
+    h = jnp.sum(hrow * wx, axis=-1)
     return m.floor_z + h
 
 

@@ -114,19 +114,39 @@ def _kernel(M_ref, qf_ref, qv_ref, J_ref, pos_ref, k_ref, b_ref, d_ref,
     hd = hd_ref[...]          # (nv, TB)  dt * dof_damping
     dtv = dt_ref[...]         # (1, TB)
 
+    x, qvn, f, qfc = _solve_core(M, qf, qv, J, pos, kk, bb, dd, hd, dtv,
+                                 nv=nv, niter=niter, ls_grid=ls_grid)
+    qacc_ref[...] = x
+    qvn_ref[...] = qvn
+    f_ref[...] = f
+    qfc_ref[...] = qfc
+
+
+def _solve_core(M, qf, qv, J, pos, kk, bb, dd, hd, dtv, *, nv, niter,
+                ls_grid):
+    """The Newton contact solve + implicit-damping Euler on
+    batch-in-lanes values — shared by the row-fed kernel (_kernel) and
+    the row-BUILDING kernel (_rows_kernel). `J` is (nv, ne, TB) — a
+    stacked array or a per-dof LIST of (ne, TB) blocks (the rows kernel
+    passes the list so a stacked copy never doubles VMEM)."""
     Lm = _chol(M, nv)
     a_s = _chol_solve_vec(Lm, qf, nv)
 
-    # diagA_i = || L^-1 J_i ||^2  via forward substitution on (ne, TB) rows
-    ys = []
-    for i in range(nv):
-        s = J[i]
-        for k2 in range(i):
-            s = s - L_ik(Lm, i, k2) * ys[k2]
-        ys.append(s / Lm[i, i][None, :])
-    diagA = ys[0] * ys[0]
-    for y in ys[1:]:
-        diagA = diagA + y * y
+    # diag(J M^-1 J^T) streamed via explicit M^-1 columns (nv x nv is
+    # tiny) with O(1) live (ne, TB) temporaries — the L^-1 J forward
+    # substitution held nv live (ne, TB) rows, which blew the 16 MB
+    # scoped-VMEM limit at ne ~ 700 (selection-free humanoid). Same
+    # structure as the JAX path's chol_solve(Mchol, J.T) finish.
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+    Minv = [_chol_solve_vec(Lm, (rows_iota == u).astype(qf.dtype), nv)
+            for u in range(nv)]                     # columns, (nv, TB)
+    diagA = None
+    for u in range(nv):
+        T = Minv[u][0][None, :] * J[0]
+        for v in range(1, nv):
+            T = T + Minv[u][v][None, :] * J[v]
+        contrib = J[u] * T
+        diagA = contrib if diagA is None else diagA + contrib
     diagA = jnp.maximum(diagA, 1e-10)
     R = jnp.maximum((1.0 - dd) / jnp.maximum(dd, 1e-4), 1e-6) * diagA
     D = 1.0 / R
@@ -147,9 +167,16 @@ def _kernel(M_ref, qf_ref, qv_ref, J_ref, pos_ref, k_ref, b_ref, d_ref,
         Mx = _matvec(M, x - a_s)
         g = Mx + jnp.stack(
             [jnp.sum(J[v] * Dar, axis=0) for v in range(nv)])
-        H = M + jnp.stack(
-            [jnp.sum((J[u] * Da)[None, :, :] * J, axis=1)
-             for u in range(nv)])
+        # J^T Da J, exploiting symmetry: each (u, w<=u) entry computed
+        # once and mirrored — 45% off the kernel's dominant contraction
+        Hent = [[None] * nv for _ in range(nv)]
+        for u in range(nv):
+            JuDa = J[u] * Da
+            for w in range(u + 1):
+                h_uw = jnp.sum(JuDa * J[w], axis=0)
+                Hent[u][w] = h_uw
+                Hent[w][u] = h_uw
+        H = M + jnp.stack([jnp.stack(row) for row in Hent])
         Lh = _chol(H, nv)
         p = -_chol_solve_vec(Lh, g, nv)
         Jp = J[0] * p[0][None, :]
@@ -185,11 +212,7 @@ def _kernel(M_ref, qf_ref, qv_ref, J_ref, pos_ref, k_ref, b_ref, d_ref,
     MhD = M + jnp.where(ii == jj, hd[:, None, :], 0.0)
     Le = _chol(MhD, nv)
     dv = dtv * _chol_solve_vec(Le, qf + qfc, nv)
-
-    qacc_ref[...] = x
-    qvn_ref[...] = qv + dv
-    f_ref[...] = f
-    qfc_ref[...] = qfc
+    return x, qv + dv, f, qfc
 
 
 def L_ik(L, i, k):
@@ -313,6 +336,322 @@ def _make_dispatch(niter: int, ls_iter: int):
         return outs, (True, True, True, True)
 
     return fused
+
+
+# ---------------------------------------------------------------------------
+# row-BUILDING kernel: constraint rows constructed in VMEM
+#
+# Round-5 finding: at batch 1024 the XLA-side row assembly (make_rows'
+# gathers, einsums, pyramid stack, concats + the (B, ne, nv) J
+# materialization and its transpose into kernel layout) cost ~400 ms of
+# the 646 ms rollout — 4x the fused solve itself — almost entirely
+# fusion-launch overhead on tiny tensors. This kernel takes the RAW
+# per-contact data (cdof, contact point/normal/gap/friction, chain dof
+# masks) plus the per-row solref/solimp constants, builds the pyramid
+# rows directly in VMEM (edge-major block order, so each edge is one
+# contiguous (K, TB) slab — concatenation, not interleave), and runs the
+# same _solve_core. J never exists in HBM at all: per-env kernel input
+# traffic drops from ~7.6k floats (J + per-row k/b/d/pos) to ~1.1k.
+# ---------------------------------------------------------------------------
+
+def _rows_kernel(M_ref, qf_ref, qv_ref, cdof_ref, rel_ref, nrm_ref,
+                 dist_ref, mu_ref, dmask_ref, kc_ref, bc_ref, dc_ref,
+                 limj_ref, lpos_ref, kl_ref, bl_ref, dl_ref, hd_ref,
+                 dt_ref,
+                 qacc_ref, qvn_ref, fslot_ref, qfc_ref,
+                 *, nv, K, nlim, niter, ls_grid, dmask_static):
+    M = M_ref[...]            # (nv, nv, TB)
+    qf = qf_ref[...]          # (nv, TB)
+    qv = qv_ref[...]          # (nv, TB)
+    cdof = cdof_ref[...]      # (nv, 6, TB)
+    rel = rel_ref[...]        # (3, K, TB) contact point - anchor
+    nrm = nrm_ref[...]        # (3, K, TB)
+    dist = dist_ref[...]      # (K, TB)
+    mu = mu_ref[...]          # (3, K, TB) [slide, torsion, roll]
+    # chain-difference dof masks: (nv, K, TB) per-env (top-k selection
+    # reorders slots per env) or a STATIC (nv, K) table broadcast over
+    # lanes (selection off — slot->bodies mapping is model structure)
+    dmask = dmask_ref[...]
+    kc = kc_ref[...]          # (K, TB)
+    bc = bc_ref[...]
+    dc = dc_ref[...]
+    hd = hd_ref[...]          # (nv, TB)
+    dtv = dt_ref[...]         # (1, TB)
+
+    # tangent frame (collision.tangent_frame arithmetic, branch-free)
+    nx, ny, nz = nrm[0], nrm[1], nrm[2]
+    up = jnp.abs(nz) > 0.9
+    rx = jnp.where(up, 1.0, 0.0)
+    rz = jnp.where(up, 0.0, 1.0)
+    t1x = -rz * ny
+    t1y = rz * nx - rx * nz
+    t1z = rx * ny
+    inv1 = 1.0 / jnp.maximum(
+        jnp.sqrt(t1x * t1x + t1y * t1y + t1z * t1z), 1e-9)
+    t1x, t1y, t1z = t1x * inv1, t1y * inv1, t1z * inv1
+    t2x = ny * t1z - nz * t1y
+    t2y = nz * t1x - nx * t1z
+    t2z = nx * t1y - ny * t1x
+
+    mus, mut, mur = mu[0], mu[1], mu[2]
+    relx, rely, relz = rel[0], rel[1], rel[2]
+    limJ = limj_ref[...]       # (max(nlim,1), nv) static limit Jacobians
+    TB = dist.shape[-1]
+
+    Jv = []
+    for v in range(nv):
+        w0, w1, w2 = (cdof[v, 0][None, :], cdof[v, 1][None, :],
+                      cdof[v, 2][None, :])
+        l0, l1, l2 = (cdof[v, 3][None, :], cdof[v, 4][None, :],
+                      cdof[v, 5][None, :])
+        dm = dmask[v][:, None] if dmask_static else dmask[v]
+        # point jacobian: cdof_lin + cdof_ang x rel, masked to the chain
+        jx = dm * (l0 + w1 * relz - w2 * rely)
+        jy = dm * (l1 + w2 * relx - w0 * relz)
+        jz = dm * (l2 + w0 * rely - w1 * relx)
+        Jn = jx * nx + jy * ny + jz * nz
+        Jt1 = jx * t1x + jy * t1y + jz * t1z
+        Jt2 = jx * t2x + jy * t2y + jz * t2z
+        Js = dm * (w0 * nx + w1 * ny + w2 * nz)
+        Jr1 = dm * (w0 * t1x + w1 * t1y + w2 * t1z)
+        Jr2 = dm * (w0 * t2x + w1 * t2y + w2 * t2z)
+        blocks = [Jn + mus * Jt1, Jn - mus * Jt1,
+                  Jn + mus * Jt2, Jn - mus * Jt2,
+                  Jn + mut * Js, Jn - mut * Js,
+                  Jn + mur * Jr1, Jn - mur * Jr1,
+                  Jn + mur * Jr2, Jn - mur * Jr2]
+        if nlim:
+            limc = jnp.broadcast_to(limJ[:nlim, v][:, None], (nlim, TB))
+            blocks = [limc] + blocks
+        Jv.append(jnp.concatenate(blocks, axis=0))
+    J = Jv   # per-dof list — never stacked (VMEM: no doubled copy)
+
+    if nlim:
+        lpos = lpos_ref[...]
+        kl = kl_ref[...]
+        bl = bl_ref[...]
+        dl = dl_ref[...]
+        pos = jnp.concatenate([lpos] + [dist] * 10, axis=0)
+        kk = jnp.concatenate([kl] + [kc] * 10, axis=0)
+        bb = jnp.concatenate([bl] + [bc] * 10, axis=0)
+        dd = jnp.concatenate([dl] + [dc] * 10, axis=0)
+    else:
+        pos = jnp.concatenate([dist] * 10, axis=0)
+        kk = jnp.concatenate([kc] * 10, axis=0)
+        bb = jnp.concatenate([bc] * 10, axis=0)
+        dd = jnp.concatenate([dc] * 10, axis=0)
+
+    x, qvn, f, qfc = _solve_core(M, qf, qv, J, pos, kk, bb, dd, hd, dtv,
+                                 nv=nv, niter=niter, ls_grid=ls_grid)
+
+    # per-slot normal force: every pyramid edge has unit normal
+    # coefficient, so the slot's normal force is the sum of its 10 edge
+    # forces — static slices (edge-major blocks), no reshape
+    fslot = f[nlim:nlim + K]
+    for e in range(1, 10):
+        fslot = fslot + f[nlim + e * K:nlim + (e + 1) * K]
+
+    qacc_ref[...] = x
+    qvn_ref[...] = qvn
+    fslot_ref[...] = fslot
+    qfc_ref[...] = qfc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lim_tab", "niter", "ls_iter", "interpret"))
+def fused_rows_batched(M, qf, qv, cdof, rel, nrm, dist, mu3, dmask,
+                       kc, bc, dc, lpos, kl, bl, dl, hdamp, dt,
+                       lim_tab=(), niter: int = 8, ls_iter: int = 16,
+                       interpret: bool = False):
+    """Batched fused row-build + solve. Batch-leading inputs:
+
+    M (B,nv,nv), qf/qv/hdamp (B,nv), cdof (B,nv,6), rel/nrm/mu3 (B,K,3),
+    dist/kc/bc/dc (B,K), dmask (B,K,nv) — or (K,nv) UNBATCHED when the
+    slot->chain mapping is static (no top-k selection) — lpos/kl/bl/dl
+    (B,nlim), dt (B,). lim_tab: static (nlim, nv) nested tuple
+    (solver.limit_rows_static). Returns
+    (qacc, qvel_new, fslot, qfrc_constraint) batch-leading, with
+    fslot (B, K) the per-slot summed normal forces.
+    """
+    B = M.shape[0]
+    K, nv = dmask.shape[-2:]
+    dmask_static = dmask.ndim == 2
+    nlim = lpos.shape[1]
+    dtype = jnp.float32
+    Bp = pl.cdiv(B, _TB) * _TB
+    pad = Bp - B
+
+    def prep(x, perm):
+        x = jnp.transpose(x.astype(dtype), perm)
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return x
+
+    Mt = prep(M, (1, 2, 0))
+    qft = prep(qf, (1, 0))
+    qvt = prep(qv, (1, 0))
+    cdoft = prep(cdof, (1, 2, 0))
+    relt = prep(rel, (2, 1, 0))
+    nrmt = prep(nrm, (2, 1, 0))
+    distt = prep(dist, (1, 0))
+    mut = prep(mu3, (2, 1, 0))
+    kct = prep(kc, (1, 0))
+    bct = prep(bc, (1, 0))
+    dct = prep(dc, (1, 0))
+    hdt = prep(hdamp, (1, 0))
+    dtt = prep(dt[:, None], (1, 0))
+
+    ls_grid = (0.0,) + tuple(
+        float(a) for a in np.logspace(-3.0, np.log10(4.0), ls_iter - 1))
+
+    kern = functools.partial(_rows_kernel, nv=nv, K=K, nlim=nlim,
+                             niter=niter, ls_grid=ls_grid,
+                             dmask_static=dmask_static)
+
+    def vspec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape + (_TB,),
+                            lambda i, nd=nd: (0,) * nd + (i,),
+                            memory_space=pltpu.VMEM)
+
+    if dmask_static:
+        dmaskt = jnp.transpose(dmask.astype(dtype), (1, 0))   # (nv, K)
+        dmask_spec = pl.BlockSpec((nv, K), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        dmaskt = prep(dmask, (2, 1, 0))
+        dmask_spec = vspec(nv, K)
+
+    # static limit-row Jacobian table, one whole-array block broadcast
+    # to every batch tile (pallas rejects in-kernel array constants)
+    nlim_spec = max(nlim, 1)
+    limJ = jnp.zeros((nlim_spec, nv), dtype)
+    if nlim:
+        limJ = limJ.at[:, :].set(
+            jnp.asarray(np.asarray(lim_tab, dtype=np.float64), dtype))
+    limj_spec = pl.BlockSpec((nlim_spec, nv), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    # nlim==0: feed 1-row dummies (pallas rejects 0-sized blocks); the
+    # kernel never reads them (static nlim gate)
+    if nlim:
+        lim_args = tuple(prep(a, (1, 0)) for a in (lpos, kl, bl, dl))
+    else:
+        z = jnp.zeros((1, Bp), dtype)
+        lim_args = (z, z, z, z)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((nv, Bp), dtype),   # qacc
+        jax.ShapeDtypeStruct((nv, Bp), dtype),   # qvel_new
+        jax.ShapeDtypeStruct((K, Bp), dtype),    # fslot
+        jax.ShapeDtypeStruct((nv, Bp), dtype),   # qfrc_constraint
+    ]
+    qacc, qvn, fslot, qfc = pl.pallas_call(
+        kern,
+        grid=(Bp // _TB,),
+        in_specs=[vspec(nv, nv), vspec(nv), vspec(nv), vspec(nv, 6),
+                  vspec(3, K), vspec(3, K), vspec(K), vspec(3, K),
+                  dmask_spec, vspec(K), vspec(K), vspec(K),
+                  limj_spec,
+                  vspec(nlim_spec), vspec(nlim_spec), vspec(nlim_spec),
+                  vspec(nlim_spec), vspec(nv), vspec(1)],
+        out_specs=[vspec(nv), vspec(nv), vspec(K), vspec(nv)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(Mt, qft, qvt, cdoft, relt, nrmt, distt, mut, dmaskt, kct, bct, dct,
+      limJ, *lim_args, hdt, dtt)
+
+    def unprep(x):
+        return jnp.transpose(x[..., :B], (1, 0))
+
+    return unprep(qacc), unprep(qvn), unprep(fslot), unprep(qfc)
+
+
+def _jax_single_raw(M, qf, qv, cdof, rel, nrm, dist, mu3, dmask,
+                    kc, bc, dc, lpos, kl, bl, dl, hdamp, dt,
+                    lim_tab, niter: int, ls_iter: int):
+    """Unbatched pure-JAX mirror of the row-building kernel: build rows
+    (edge-major, solver.rows_from_raw) then the standard solve+Euler."""
+    from .solver import rows_from_raw
+    rows = rows_from_raw(cdof, dmask, rel, nrm, dist, mu3, kc, bc, dc,
+                         lim_tab, lpos, kl, bl, dl)
+    qacc, qvn, f, qfc = _jax_single(M, qf, qv, rows.J, rows.pos, rows.k,
+                                    rows.b, rows.d, hdamp, dt,
+                                    niter=niter, ls_iter=ls_iter)
+    K = dist.shape[0]
+    nlim = lpos.shape[0]
+    fslot = f[nlim:].reshape(10, K).sum(axis=0)
+    return qacc, qvn, fslot, qfc
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rows_dispatch(lim_tab, niter: int, ls_iter: int):
+    single = functools.partial(_jax_single_raw, lim_tab=lim_tab,
+                               niter=niter, ls_iter=ls_iter)
+
+    @jax.custom_batching.custom_vmap
+    def fused(M, qf, qv, cdof, rel, nrm, dist, mu3, dmask, kc, bc, dc,
+              lpos, kl, bl, dl, hdamp, dt):
+        if enabled() and M.dtype == jnp.float32:
+            outs = fused_rows_batched(
+                *[a[None] for a in (M, qf, qv, cdof, rel, nrm, dist, mu3,
+                                    dmask, kc, bc, dc, lpos, kl, bl, dl,
+                                    hdamp)],
+                jnp.reshape(dt, (1,)), lim_tab=lim_tab, niter=niter,
+                ls_iter=ls_iter)
+            return tuple(o[0] for o in outs)
+        return single(M, qf, qv, cdof, rel, nrm, dist, mu3, dmask,
+                      kc, bc, dc, lpos, kl, bl, dl, hdamp, dt)
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        kernel_ok = enabled() and args[0].dtype == jnp.float32
+        _DMASK = 8
+
+        def bcast(a):
+            return jnp.broadcast_to(a[None], (axis_size,) + jnp.shape(a))
+
+        # an UNBATCHED dmask stays 2D for the kernel (static slot->chain
+        # table broadcast in VMEM — no per-env gather/transpose)
+        bc_args = [a if ib or (i == _DMASK and kernel_ok) else bcast(a)
+                   for i, (a, ib) in enumerate(zip(args, in_batched))]
+        (M, qf, qv, cdof, rel, nrm, dist, mu3, dmask, kc, bc_, dc,
+         lpos, kl, bl, dl, hdamp, dt) = bc_args
+        if kernel_ok:
+            outs = fused_rows_batched(M, qf, qv, cdof, rel, nrm, dist,
+                                      mu3, dmask, kc, bc_, dc, lpos, kl,
+                                      bl, dl, hdamp, dt, lim_tab=lim_tab,
+                                      niter=niter, ls_iter=ls_iter)
+        else:
+            outs = jax.vmap(single)(M, qf, qv, cdof, rel, nrm, dist, mu3,
+                                    dmask, kc, bc_, dc, lpos, kl, bl, dl,
+                                    hdamp, dt)
+        return outs, (True, True, True, True)
+
+    return fused
+
+
+def solve_step_raw(M, qf, qv, cdof, rel, nrm, dist, mu3, dmask,
+                   kc, bc, dc, lpos, kl, bl, dl, hdamp, dt,
+                   lim_tab=(), niter: int = 8, ls_iter: int = 16,
+                   force_jax: bool = False):
+    """Row-building contact solve + implicit-damping Euler from RAW
+    contact data — the step() fast path on TPU. Returns
+    (qacc, qvel_new, fslot, qfrc_constraint); fslot (K,) per-slot
+    summed normal forces.
+
+    Dispatch mirrors solve_constraints_euler: fused TPU kernel under
+    vmap and for unbatched f32 calls; plain JAX otherwise (no
+    custom_vmap wrapper off-TPU, so every transform keeps working).
+    """
+    if force_jax or not enabled() or M.dtype != jnp.float32:
+        return _jax_single_raw(M, qf, qv, cdof, rel, nrm, dist, mu3,
+                               dmask, kc, bc, dc, lpos, kl, bl, dl,
+                               hdamp, dt, lim_tab=lim_tab, niter=niter,
+                               ls_iter=ls_iter)
+    return _make_rows_dispatch(lim_tab, niter, ls_iter)(
+        M, qf, qv, cdof, rel, nrm, dist, mu3, dmask, kc, bc, dc,
+        lpos, kl, bl, dl, hdamp, dt)
 
 
 def solve_constraints_euler(M, qf, qv, J, pos, k, b, d, hdamp, dt,

@@ -215,6 +215,153 @@ def make_rows(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
     return Rows(J=jnp.zeros((0, nv), dtype=dtype), pos=z, k=z, b=z, d=z)
 
 
+def limit_rows_static(m: Model):
+    """Static limit-row Jacobian table (nlim, nv) as a nested tuple.
+
+    Limit/tendon rows have CONFIGURATION-INDEPENDENT Jacobians (±e_vadr
+    for scalar joints, ± the coefficient combination for fixed tendons),
+    in the exact enumeration order of make_rows. The fused TPU kernel
+    takes this as a static argument and materializes the rows in VMEM,
+    so XLA never builds or moves the limit block at runtime.
+    """
+    import numpy as np
+    s = m.struct
+    rows = []
+    for j in range(s.njnt):
+        if not s.jnt_limited[j]:
+            continue
+        if s.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE):
+            continue
+        r = np.zeros(s.nv)
+        r[s.jnt_vadr[j]] = 1.0
+        rows.append(r)
+        rows.append(-r)
+    for tnd in range(s.ntendon):
+        r = np.zeros(s.nv)
+        for j, c in zip(s.tendon_jnt[tnd], s.tendon_coef[tnd]):
+            r[s.jnt_vadr[j]] += c
+        rows.append(r)
+        rows.append(-r)
+    tab = np.stack(rows) if rows else np.zeros((0, s.nv))
+    return tuple(tuple(float(x) for x in row) for row in tab)
+
+
+def limit_rows_data(m: Model, qpos: jax.Array):
+    """(pos, k, b, d) of the limit rows — the configuration-DEPENDENT
+    half of the limit block, same enumeration order as
+    limit_rows_static. Cheap XLA elementwise work (a few gathers from
+    qpos); the Jacobians themselves are static."""
+    s = m.struct
+    dtype = qpos.dtype
+    pos = []
+    for j in range(s.njnt):
+        if not s.jnt_limited[j]:
+            continue
+        if s.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE):
+            continue
+        qadr = s.jnt_qadr[j]
+        lo, hi = m.jnt_range[j, 0], m.jnt_range[j, 1]
+        mg = m.jnt_margin[j]
+        pos.append(qpos[qadr] - lo - mg)
+        pos.append(hi - mg - qpos[qadr])
+    for tnd in range(s.ntendon):
+        length = sum(c * qpos[s.jnt_qadr[j]]
+                     for j, c in zip(s.tendon_jnt[tnd], s.tendon_coef[tnd]))
+        lo, hi = m.tendon_range[tnd, 0], m.tendon_range[tnd, 1]
+        pos.append(length - lo)
+        pos.append(hi - length)
+    if not pos:
+        z = jnp.zeros((0,), dtype=dtype)
+        return z, z, z, z
+    pos = jnp.stack(pos)
+    d = impedance(m.limit_solimp, -pos)
+    k, b = _kb(m.limit_solref, m.limit_solimp, d, m.dt)
+    return pos, k, jnp.broadcast_to(b, pos.shape), d
+
+
+def contact_raw(m: Model, kin: Kin, contacts: Contacts,
+                sel: jax.Array | None):
+    """Raw per-contact quantities for the fused row-building kernel:
+    (dmask, rel, mu3, kcon, bcon, dcon).
+
+    dmask (K, nv): body_b-chain minus body_a-chain dof mask (the only
+    dynamic gather left on the contact path); rel (K, 3): contact point
+    relative to the spatial anchor; mu3 (K, 3): [slide, torsion, roll]
+    friction; k/b/d (K,): solref/solimp constants from the signed gap —
+    identical across a contact's 10 pyramid edges, so only K values are
+    ever built (make_rows repeated them per edge).
+    """
+    import numpy as np
+    s = m.struct
+    dtype = kin.cdof.dtype
+    # float64 BEFORE differencing (body_dof is uint8 — a-b would wrap)
+    body_dof = np.asarray(s.body_dof, dtype=np.float64)
+    zero_row = np.zeros(s.nv, dtype=np.float64)
+    tab = np.stack([
+        (body_dof[b] if b >= 0 else zero_row)
+        - (body_dof[a] if a >= 0 else zero_row)
+        for a, b in zip(s.slot_body_a, s.slot_body_b)])
+    dmask = jnp.asarray(tab, dtype=dtype)
+    if sel is not None:
+        dmask = dmask[sel]
+    rel = contacts.pos - kin.anchor
+    mu3 = jnp.stack([contacts.friction, contacts.friction_tor,
+                     contacts.friction_roll], axis=-1)
+    dcon = impedance(m.solimp, -contacts.dist)
+    kcon, bcon = _kb(m.solref, m.solimp, dcon, m.dt)
+    return (dmask, rel, mu3, kcon,
+            jnp.broadcast_to(bcon, dcon.shape), dcon)
+
+
+def rows_from_raw(cdof: jax.Array, dmask: jax.Array, rel: jax.Array,
+                  normal: jax.Array, dist: jax.Array, mu3: jax.Array,
+                  kcon: jax.Array, bcon: jax.Array, dcon: jax.Array,
+                  lim_tab, lim_pos: jax.Array, lim_k: jax.Array,
+                  lim_b: jax.Array, lim_d: jax.Array) -> Rows:
+    """Build constraint rows from raw contact data, EDGE-MAJOR order:
+    [limits; edge0 c0..cK-1; edge1 c0..cK-1; ...].
+
+    This is the pure-JAX mirror of the fused kernel's in-VMEM row
+    construction (pallas_solver._rows_kernel) — same arithmetic, same
+    row order — used as its fallback/oracle. Row ORDER is solver-
+    irrelevant (every consumer reduces over rows); it differs from
+    make_rows' contact-major layout only so each pyramid edge is one
+    contiguous (K,) block (concatenation instead of interleave).
+    """
+    dtype = cdof.dtype
+    nv = cdof.shape[0]
+    jac_pt = (cdof[None, :, 3:]
+              + jnp.cross(cdof[None, :, :3], rel[:, None, :]))
+    dm = dmask[:, :, None]
+    jac = dm * jac_pt                              # (K, nv, 3)
+    jac_ang = dm * cdof[None, :, :3]
+    t1, t2 = tangent_frame(normal)
+    Jn = jnp.einsum("cvk,ck->cv", jac, normal)
+    Jt1 = jnp.einsum("cvk,ck->cv", jac, t1)
+    Jt2 = jnp.einsum("cvk,ck->cv", jac, t2)
+    Js = jnp.einsum("cvk,ck->cv", jac_ang, normal)
+    Jr1 = jnp.einsum("cvk,ck->cv", jac_ang, t1)
+    Jr2 = jnp.einsum("cvk,ck->cv", jac_ang, t2)
+    mu = mu3[:, 0:1]
+    mu_t = mu3[:, 1:2]
+    mu_r = mu3[:, 2:3]
+    blocks = [Jn + mu * Jt1, Jn - mu * Jt1,
+              Jn + mu * Jt2, Jn - mu * Jt2,
+              Jn + mu_t * Js, Jn - mu_t * Js,
+              Jn + mu_r * Jr1, Jn - mu_r * Jr1,
+              Jn + mu_r * Jr2, Jn - mu_r * Jr2]
+    import numpy as np
+    lim_J = jnp.asarray(np.asarray(lim_tab, dtype=np.float64).reshape(
+        -1, nv), dtype=dtype)
+    nrep = len(blocks)
+    return Rows(
+        J=jnp.concatenate([lim_J] + blocks, axis=0),
+        pos=jnp.concatenate([lim_pos] + [dist] * nrep),
+        k=jnp.concatenate([lim_k] + [kcon] * nrep),
+        b=jnp.concatenate([lim_b] + [bcon] * nrep),
+        d=jnp.concatenate([lim_d] + [dcon] * nrep))
+
+
 def finish_efc(rows: Rows, qvel: jax.Array, Mchol: jax.Array) -> Efc:
     """Mass-matrix finish: aref and the D penalty weights.
 

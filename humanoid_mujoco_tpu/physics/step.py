@@ -70,12 +70,10 @@ def _num_limit_rows(m: Model) -> int:
     return n
 
 
-def _prepare(m: Model, state: State, ctrl: jax.Array,
-             xfrc: Optional[jax.Array]):
-    """Smooth dynamics + collision + constraint-row assembly (shared by
-    the JAX solver path in `forward` and the fused-kernel path in `step`)."""
+def _prepare_smooth(m: Model, state: State, ctrl: jax.Array,
+                    xfrc: Optional[jax.Array]):
+    """Smooth dynamics + collision (everything before constraint rows)."""
     from .model import ActuatorType
-    from .solver import make_rows
     qpos, qvel = state.qpos, state.qvel
     s = m.struct
 
@@ -103,7 +101,18 @@ def _prepare(m: Model, state: State, ctrl: jax.Array,
         contacts, sel = select_contacts(contacts_full, K)
     else:
         contacts, sel = contacts_full, None
-    rows = make_rows(m, kin, qpos, qvel, contacts, sel)
+    return kin, vel, M, qfrc_smooth, contacts_full, contacts, sel
+
+
+def _prepare(m: Model, state: State, ctrl: jax.Array,
+             xfrc: Optional[jax.Array]):
+    """Smooth dynamics + collision + constraint-row assembly (the JAX
+    solver path in `forward`; step's kernel path builds rows in VMEM via
+    pallas_solver.solve_step_raw instead)."""
+    from .solver import make_rows
+    kin, vel, M, qfrc_smooth, contacts_full, contacts, sel = \
+        _prepare_smooth(m, state, ctrl, xfrc)
+    rows = make_rows(m, kin, state.qpos, state.qvel, contacts, sel)
     return kin, vel, M, qfrc_smooth, contacts_full, contacts, sel, rows
 
 
@@ -230,17 +239,56 @@ def step(m: Model, state: State, ctrl: jax.Array,
         dv = h * linalg.solve_psd(MhD, qfrc_total)
         qvel_new = state.qvel + dv
     else:
-        from .pallas_solver import solve_constraints_euler
+        from . import pallas_solver
         qpos, qvel = state.qpos, state.qvel
         dtype = qpos.dtype
-        kin, vel, M, qfrc_smooth, contacts_full, contacts, sel, rows = \
-            _prepare(m, state, ctrl, xfrc)
-        qacc, qvel_new, efc_f, qfrc_constraint = solve_constraints_euler(
-            M, qfrc_smooth, qvel, rows.J, rows.pos, rows.k, rows.b,
-            rows.d, h * m.dof_damping, h, niter=solver_iters,
-            force_jax=(use_pallas is False))
+        K_cap = m.struct.max_contacts
+        ncon_sel = K_cap if 0 < K_cap < m.ncon else m.ncon
+        use_rows_kernel = (use_pallas is not False
+                           and pallas_solver.enabled()
+                           and dtype == jnp.float32 and ncon_sel > 0)
+        if use_rows_kernel:
+            # TPU fast path: constraint rows are built INSIDE the fused
+            # kernel from raw contact data (pallas_solver._rows_kernel)
+            # — make_rows' XLA-side assembly was ~60% of step time
+            from .solver import (contact_raw, limit_rows_data,
+                                 limit_rows_static)
+            kin, vel, M, qfrc_smooth, contacts_full, contacts, sel = \
+                _prepare_smooth(m, state, ctrl, xfrc)
+            # selection-free when the full slot set fits the kernel's
+            # scoped VMEM (J is nv x ne x 128 x 4B; cap ~8 MB): the
+            # top-k sort + 7 dynamic gathers cost more on TPU than the
+            # extra inactive rows, and the slot->chain dof table becomes
+            # a STATIC kernel input. Solves are identical whenever at
+            # most k slots are active (select_contacts docstring) —
+            # inactive far rows contribute zero force either way.
+            ne_nosel = _num_limit_rows(m) + 10 * m.ncon
+            if sel is not None and m.struct.nv * ne_nosel <= 16384:
+                contacts, sel = contacts_full, None
+            dmask, rel, mu3, kcon, bcon, dcon = contact_raw(
+                m, kin, contacts, sel)
+            lpos, kl, bl, dl = limit_rows_data(m, qpos)
+            qacc, qvel_new, fslot, qfrc_constraint = \
+                pallas_solver.solve_step_raw(
+                    M, qfrc_smooth, qvel, kin.cdof, rel, contacts.normal,
+                    contacts.dist, mu3, dmask, kcon, bcon, dcon,
+                    lpos, kl, bl, dl, h * m.dof_damping, h,
+                    lim_tab=limit_rows_static(m), niter=solver_iters)
+            if sel is not None:
+                cf = jnp.zeros((m.ncon,), dtype=dtype).at[sel].set(fslot)
+            else:
+                cf = fslot
+        else:
+            kin, vel, M, qfrc_smooth, contacts_full, contacts, sel, rows \
+                = _prepare(m, state, ctrl, xfrc)
+            qacc, qvel_new, efc_f, qfrc_constraint = \
+                pallas_solver.solve_constraints_euler(
+                    M, qfrc_smooth, qvel, rows.J, rows.pos, rows.k,
+                    rows.b, rows.d, h * m.dof_damping, h,
+                    niter=solver_iters, force_jax=(use_pallas is False))
+            cf = _contact_forces(m, efc_f, contacts.dist.shape[0], sel,
+                                 dtype)
         qfrc_total = qfrc_smooth + qfrc_constraint
-        cf = _contact_forces(m, efc_f, contacts.dist.shape[0], sel, dtype)
         diverged = jnp.logical_or(
             ~jnp.all(jnp.isfinite(qacc)),
             jnp.max(jnp.abs(qvel)) > _QVEL_LIMIT)
