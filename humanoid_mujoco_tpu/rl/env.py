@@ -336,16 +336,23 @@ def env_reset(cfg: EnvConfig, base_model: Model, rf: jax.Array,
 
 
 def _ring_push_read(buf, value, count, delay):
-    """Write `value` at slot count%CAP; read the value from `delay` steps
-    ago (clamped to the oldest available)."""
+    """Push `value` (newest at the end); read the value from `delay`
+    steps ago (slots not yet written still hold the reset-time fill —
+    zeros / [0,0,-1] — reproducing the reference's pre-filled delay
+    queues, cpu_env.py:171-187).
+
+    SHIFT buffer + one-hot read, NOT a ring with modular indices: the
+    per-env write/read positions are traced, and under a 4096-env vmap
+    each dynamic_update/index lowered to a scatter/gather — 8 of them
+    per step were a large share of env overhead on TPU (round-5
+    profile). The shift is a static concat and the read a tiny masked
+    reduction; both fuse. `count` is unused (kept for call symmetry).
+    """
     cap = buf.shape[0]
-    w = jnp.mod(count, cap)
-    buf = jax.lax.dynamic_update_index_in_dim(buf, value, w, 0)
-    # slots older than `count` still hold the reset-time fill (zeros /
-    # [0,0,-1]), reproducing the reference's pre-filled delay queues
-    # (cpu_env.py:171-187)
-    r = jnp.mod(count - delay, cap)
-    return buf, jax.lax.dynamic_index_in_dim(buf, r, 0, keepdims=False)
+    buf = jnp.concatenate([buf[1:], value[None]], axis=0)
+    idx = cap - 1 - jnp.clip(delay, 0, cap - 1)
+    onehot = (jnp.arange(cap) == idx).astype(buf.dtype)
+    return buf, jnp.sum(onehot[:, None] * buf, axis=0)
 
 
 def _observe(cfg: EnvConfig, m: Model, es: EnvState,
@@ -388,8 +395,19 @@ def _observe(cfg: EnvConfig, m: Model, es: EnvState,
 
 
 def _torso_quat(m: Model, es: EnvState):
+    from ..physics.model import JointType
+    s = m.struct
+    torso = s.body_id("torso")
+    # free-joint root: world quat IS qpos[3:7] (fwd_position free-joint
+    # branch) — avoids a full FK per env_reset, which env_auto_reset
+    # otherwise pays EVERY training step for every env (reset-then-mask
+    # lockstep semantics)
+    for j in s.body_joints[torso]:
+        if s.jnt_type[j] == JointType.FREE:
+            qadr = s.jnt_qadr[j]
+            q = es.phys.qpos[qadr + 3:qadr + 7]
+            return q / pm.safe_norm(q)
     from ..physics.engine import fwd_position
-    torso = m.struct.body_id("torso")
     kin = fwd_position(m, es.phys.qpos)
     return kin.xquat[torso]
 
@@ -429,10 +447,13 @@ def _update_forces(m: Model, es: EnvState):
 
     active = jnp.logical_and(t > es.force_start,
                              t < es.force_start + es.force_duration)
-    xfrc = jnp.zeros((m.struct.nbody, 6), dtype=dtype)
     f = jnp.where(active, es.force_magnitude, 0.0)
-    xfrc = xfrc.at[es.force_body, 0].set(f * es.force_dir[0])
-    xfrc = xfrc.at[es.force_body, 1].set(f * es.force_dir[1])
+    # one-hot body row instead of a per-env .at[] scatter (traced body
+    # index under vmap = slow TPU scatter)
+    onehot = (jnp.arange(m.struct.nbody) == es.force_body).astype(dtype)
+    fvec = jnp.concatenate([f * es.force_dir,
+                            jnp.zeros((4,), dtype=dtype)])
+    xfrc = onehot[:, None] * fvec[None, :]
     return es, xfrc
 
 
