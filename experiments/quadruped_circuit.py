@@ -37,7 +37,12 @@ from humanoid_mujoco_tpu.tasks.quadruped_hill import (quadruped_hill_model,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=4, help="waypoints")
+    # waypoint density matches the reference circuit: task_hill.xml's
+    # 20 keyframes are ~0.4-0.7 m apart (task_hill.xml:80-99); a ring
+    # of 12 at r=1.1 gives 0.57 m spacing. The round-4 runs used 1.2-
+    # 1.6 m spacing — twice the reference's — which stalls progress
+    # (the 0.25 s horizon can't see a gait's worth of approach).
+    ap.add_argument("--n", type=int, default=12, help="waypoints")
     ap.add_argument("--ring", type=float, default=1.1, help="ring radius")
     ap.add_argument("--hill", type=float, default=0.35, help="hill peak height")
     ap.add_argument("--max-sim-s", type=float, default=120.0)

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from . import math as pm
 from .model import Model
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -105,7 +107,7 @@ def sphere_world_centers(m: Model, xpos: jax.Array, xmat: jax.Array
     if s.nsph == 0:
         return jnp.zeros((0, 3), dtype=xpos.dtype)
     body = jnp.asarray(s.sph_body, dtype=jnp.int32)
-    return xpos[body] + jnp.einsum("nij,nj->ni", xmat[body], m.sph_pos)
+    return xpos[body] + jnp.einsum("nij,nj->ni", xmat[body], m.sph_pos, precision=_HI)
 
 
 def capsule_world_segments(m: Model, xpos: jax.Array, xmat: jax.Array):
@@ -116,8 +118,8 @@ def capsule_world_segments(m: Model, xpos: jax.Array, xmat: jax.Array):
         return z, z
     body = jnp.asarray(s.cap_body, dtype=jnp.int32)
     R = xmat[body]
-    center = xpos[body] + jnp.einsum("nij,nj->ni", R, m.cap_pos)
-    axis = jnp.einsum("nij,nj->ni", R, m.cap_axis)
+    center = xpos[body] + jnp.einsum("nij,nj->ni", R, m.cap_pos, precision=_HI)
+    axis = jnp.einsum("nij,nj->ni", R, m.cap_axis, precision=_HI)
     off = m.cap_halflen[:, None] * axis
     return center - off, center + off
 
@@ -130,7 +132,7 @@ def box_world_frames(m: Model, xpos: jax.Array, xmat: jax.Array):
                 jnp.zeros((0, 3, 3), dtype=xpos.dtype))
     body = jnp.asarray(s.box_body, dtype=jnp.int32)
     R = xmat[body]
-    c = xpos[body] + jnp.einsum("nij,nj->ni", R, m.box_pos)
+    c = xpos[body] + jnp.einsum("nij,nj->ni", R, m.box_pos, precision=_HI)
     Rb = jnp.matmul(R, pm.quat_to_mat(m.box_quat))
     return c, Rb
 

@@ -108,7 +108,8 @@ def fwd_position(m: Model, qpos: jax.Array) -> Kin:
     xanchor = jnp.stack(xanchor) if s.njnt else jnp.zeros((0, 3), dtype)
 
     # COM positions and whole-model COM (spatial anchor)
-    xipos = xpos + jnp.einsum("bij,bj->bi", xmat, m.body_ipos)
+    xipos = xpos + jnp.einsum("bij,bj->bi", xmat, m.body_ipos,
+                              precision=_HI)
     total_mass = jnp.sum(m.body_mass)
     anchor = jnp.sum(m.body_mass[:, None] * xipos, axis=0) / jnp.maximum(
         total_mass, 1e-12)
@@ -249,7 +250,10 @@ def rnea_bias(m: Model, kin: Kin, vel: Vel, qvel: jax.Array) -> jax.Array:
     f = jnp.einsum("bij,bj->bi", kin.cinert, cacc,
                    precision=_HI) + pm.force_cross(vel.cvel, Iv)
     # bias_i = cdof_i · sum_{b : dof i moves b} f_b
-    fsum = body_dof.T @ f                                 # (nv, 6)
+    # (precision: a default-precision matmul here runs bf16 on the TPU
+    # MXU — the ~19 N gravity load rounds at 4e-3 relative, which the
+    # round-5 fused-kernel parity check exposed)
+    fsum = jnp.matmul(body_dof.T, f, precision=_HI)       # (nv, 6)
     return jnp.sum(kin.cdof * fsum, axis=-1)
 
 
@@ -461,5 +465,5 @@ def xfrc_to_qfrc(m: Model, kin: Kin, xfrc: jax.Array) -> jax.Array:
     w = jnp.concatenate(
         [trq + jnp.cross(kin.xipos - kin.anchor, frc), frc], axis=-1)
     body_dof = jnp.asarray(s.body_dof, dtype=dtype)       # (nbody, nv)
-    wsum = body_dof.T @ w                                 # (nv, 6)
+    wsum = jnp.matmul(body_dof.T, w, precision=_HI)       # (nv, 6)
     return jnp.sum(kin.cdof * wsum, axis=-1)

@@ -349,17 +349,289 @@ def _make_dispatch(niter: int, ls_iter: int):
 # per-contact data (cdof, contact point/normal/gap/friction, chain dof
 # masks) plus the per-row solref/solimp constants, builds the pyramid
 # rows directly in VMEM (edge-major block order, so each edge is one
-# contiguous (K, TB) slab — concatenation, not interleave), and runs the
-# same _solve_core. J never exists in HBM at all: per-env kernel input
-# traffic drops from ~7.6k floats (J + per-row k/b/d/pos) to ~1.1k.
+# contiguous (K, TB) slab — concatenation, not interleave). J never
+# exists in HBM at all: per-env kernel input traffic drops from ~7.6k
+# floats (J + per-row k/b/d/pos) to ~1.1k.
+#
+# The solve itself runs FACTORIZED in the 6-row base space
+# (_solve_core_pyramid): every edge row is Jn + s*mu*Jt for one of 5
+# tangent bases, so J-contractions (H = M + J^T Da J, g, diagA, J^T f)
+# collapse onto the base Jacobians with per-slot coefficient combos —
+# the contraction length drops from nlim + 10K rows to 6K base rows,
+# which roughly halves the kernel's dominant VPU work. Limit rows have
+# STATIC Jacobians (lim_tab), so their contributions unroll over the
+# static nonzeros at trace time.
 # ---------------------------------------------------------------------------
+
+
+def _lim_nonzeros(lim_tab):
+    """Static limit-row structure: per row, tuple of (dof, coef)."""
+    return tuple(
+        tuple((v, float(c)) for v, c in enumerate(row) if c != 0.0)
+        for row in lim_tab)
+
+
+def _solve_core_pyramid(M, qf, qv, JB, mu3, pos, kc, bb, dc,
+                        lim_nz, lpos, kl, bl, dl, hd, dtv,
+                        *, nv, niter, ls_grid):
+    """Newton contact solve + implicit-damping Euler, factorized over
+    the condim-6 pyramid structure.
+
+    JB: 6 per-dof lists of (K, TB) base Jacobian rows
+        [Jn, Jt1, Jt2, Js, Jr1, Jr2]; edge e of a slot is
+        Jn + sign_e * mu_e * Jt_{t(e)} in the edge-major order of
+        rows_from_raw. mu3: [mus, mut, mur] each (K, TB). kc/bb/dc/pos:
+        per-slot constants (K, TB), shared by the slot's 10 edges.
+    lim_nz: static ((dof, coef), ...) per limit row; lpos/kl/bl/dl
+    (nlim, TB). Returns (qacc, qvel_new, fslot, qfrc_constraint) with
+    fslot (K, TB) the per-slot summed normal force.
+
+    Algebraically identical to running _solve_core on the expanded
+    nlim + 10K rows (rows_from_raw layout) — only f32 reassociation
+    differs.
+    """
+    mus, mut, mur = mu3
+    # (tangent base index, mu) per edge pair i; edges are (2i, 2i+1)
+    # with signs (+, -)
+    pair_mu = ((1, mus), (2, mus), (3, mut), (4, mur), (5, mur))
+    nlim = len(lim_nz)
+
+    Lm = _chol(M, nv)
+    a_s = _chol_solve_vec(Lm, qf, nv)
+
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+    Minv = [_chol_solve_vec(Lm, (rows_iota == u).astype(qf.dtype), nv)
+            for u in range(nv)]                     # columns, (nv, TB)
+
+    # ---- diagA in base space: per-slot Gram entries, streamed ----
+    # A_ab = Jb_a M^-1 Jb_b^T computed via one (K, TB) temporary per
+    # dof row (tmp = row u of M^-1 Jb_t^T), consumed immediately —
+    # O(1) live temps, like _solve_core's streamed diagA.
+    def grams(t):
+        """(A_nt, A_tt) for tangent base t (A_nn for t == 0)."""
+        A_nt_acc = None
+        A_tt_acc = None
+        for u in range(nv):
+            tmp = Minv[u][0][None, :] * JB[t][0]
+            for v in range(1, nv):
+                tmp = tmp + Minv[u][v][None, :] * JB[t][v]
+            nt = JB[0][u] * tmp
+            tt = JB[t][u] * tmp
+            A_nt_acc = nt if A_nt_acc is None else A_nt_acc + nt
+            A_tt_acc = tt if A_tt_acc is None else A_tt_acc + tt
+        return A_nt_acc, A_tt_acc
+
+    A_nn, _ = grams(0)
+    A_nt = []
+    A_tt = []
+    for t, _mu in pair_mu:
+        ant, att = grams(t)
+        A_nt.append(ant)
+        A_tt.append(att)
+    # per-edge diag(J M^-1 J^T): A_nn +- 2 mu A_nt + mu^2 A_tt
+    diag_e = []
+    for i, (_, mu) in enumerate(pair_mu):
+        cross = 2.0 * mu * A_nt[i]
+        quad = mu * mu * A_tt[i]
+        diag_e.append(A_nn + cross + quad)
+        diag_e.append(A_nn - cross + quad)
+    # limit rows: static quadratic form over Minv
+    diag_l = []
+    for row in lim_nz:
+        acc = None
+        for (u, cu) in row:
+            for (v, cv) in row:
+                term = (cu * cv) * Minv[u][v]
+                acc = term if acc is None else acc + term
+        diag_l.append(acc if acc is not None
+                      else jnp.zeros_like(qf[0]))
+
+    def D_of(diag, dd):
+        diag = jnp.maximum(diag, 1e-10)
+        R = jnp.maximum((1.0 - dd) / jnp.maximum(dd, 1e-4), 1e-6) * diag
+        return 1.0 / R
+
+    D_e = [D_of(de, dc) for de in diag_e]            # 10 x (K, TB)
+    D_l = ([D_of(jnp.stack(diag_l), dl)] if nlim else [])  # (nlim, TB)
+
+    # ---- aref ----
+    def base_dot(vec):
+        """J_base @ vec for the 6 base types: 6 x (K, TB)."""
+        out = []
+        for a in range(6):
+            acc = JB[a][0] * vec[0][None, :]
+            for v in range(1, nv):
+                acc = acc + JB[a][v] * vec[v][None, :]
+            out.append(acc)
+        return out
+
+    def lim_dot(vec):
+        """Static limit rows @ vec: (nlim, TB)."""
+        rows = []
+        for row in lim_nz:
+            acc = None
+            for (u, cu) in row:
+                t = cu * vec[u]
+                acc = t if acc is None else acc + t
+            rows.append(acc if acc is not None
+                        else jnp.zeros_like(vec[0]))
+        return jnp.stack(rows)
+
+    def edges_of(base6):
+        """Expand 6 base values into the 10 edge values."""
+        out = []
+        for (t, mu) in pair_mu:
+            mt = mu * base6[t]
+            out.append(base6[0] + mt)
+            out.append(base6[0] - mt)
+        return out
+
+    jqv_b = base_dot(qv)
+    jqv_e = edges_of(jqv_b)
+    aref_e = [-bb * jv - kc * dc * pos for jv in jqv_e]
+    if nlim:
+        jqv_l = lim_dot(qv)
+        aref_l = -bl * jqv_l - kl * dl * lpos
+
+    def JT_apply(y_e, y_l):
+        """J^T y for per-edge values y_e (10 x (K,TB)) and limit values
+        y_l (nlim, TB): returns (nv, TB)."""
+        Y0 = y_e[0]
+        for e in range(1, 10):
+            Y0 = Y0 + y_e[e]
+        Z = [mu * (y_e[2 * i] - y_e[2 * i + 1])
+             for i, (_, mu) in enumerate(pair_mu)]
+        outs = []
+        for v in range(nv):
+            acc = JB[0][v] * Y0
+            for i, (t, _) in enumerate(pair_mu):
+                acc = acc + JB[t][v] * Z[i]
+            outs.append(jnp.sum(acc, axis=0))
+        out = jnp.stack(outs)
+        if nlim:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+            for l, row in enumerate(lim_nz):
+                for (u, cu) in row:
+                    out = out + jnp.where(rows == u, cu * y_l[l][None, :],
+                                          0.0)
+        return out
+
+    x = a_s
+    for _ in range(niter):
+        rb = base_dot(x)
+        r_e = [je - ae for je, ae in zip(edges_of(rb), aref_e)]
+        Dar_e = [jnp.where(r < 0, De * r, 0.0)
+                 for r, De in zip(r_e, D_e)]
+        if nlim:
+            r_l = lim_dot(x) - aref_l
+            Dar_l = jnp.where(r_l < 0, D_l[0] * r_l, 0.0)
+        else:
+            r_l = Dar_l = None
+        Mx = _matvec(M, x - a_s)
+        g = Mx + JT_apply(Dar_e, Dar_l)
+
+        # H = M + J^T Da J via per-slot coefficient combos:
+        #   c0 = sum_e Da_e ; ci = mu_i (Da_2i - Da_2i+1) ;
+        #   cii = mu_i^2 (Da_2i + Da_2i+1)
+        Da_e = [jnp.where(r < 0, De, 0.0) for r, De in zip(r_e, D_e)]
+        c0 = Da_e[0]
+        for e in range(1, 10):
+            c0 = c0 + Da_e[e]
+        ci = [mu * (Da_e[2 * i] - Da_e[2 * i + 1])
+              for i, (_, mu) in enumerate(pair_mu)]
+        cii = [mu * mu * (Da_e[2 * i] + Da_e[2 * i + 1])
+               for i, (_, mu) in enumerate(pair_mu)]
+        # P[w] = c0 Jn[w] + sum_i ci Jt_i[w];
+        # Q_i[w] = ci Jn[w] + cii Jt_i[w]
+        P = []
+        Q = [[None] * nv for _ in range(5)]
+        for w in range(nv):
+            acc = c0 * JB[0][w]
+            for i, (t, _) in enumerate(pair_mu):
+                acc = acc + ci[i] * JB[t][w]
+                Q[i][w] = ci[i] * JB[0][w] + cii[i] * JB[t][w]
+            P.append(acc)
+        Hent = [[None] * nv for _ in range(nv)]
+        for u in range(nv):
+            for w in range(u + 1):
+                acc = JB[0][u] * P[w]
+                for i, (t, _) in enumerate(pair_mu):
+                    acc = acc + JB[t][u] * Q[i][w]
+                h_uw = jnp.sum(acc, axis=0)
+                Hent[u][w] = h_uw
+                Hent[w][u] = h_uw
+        if nlim:
+            Da_l = jnp.where(r_l < 0, D_l[0], 0.0)
+            for l, row in enumerate(lim_nz):
+                for (u, cu) in row:
+                    for (v, cv) in row:
+                        if v > u:
+                            continue
+                        h = Hent[u][v] + (cu * cv) * Da_l[l]
+                        Hent[u][v] = h
+                        if v != u:
+                            Hent[v][u] = h
+        H = M + jnp.stack([jnp.stack(row) for row in Hent])
+        Lh = _chol(H, nv)
+        p = -_chol_solve_vec(Lh, g, nv)
+
+        Jp_e = edges_of(base_dot(p))
+        pMp = jnp.sum(p * _matvec(M, p), axis=0)
+        b0 = jnp.sum(p * Mx, axis=0)
+        DJp_e = [De * jp for De, jp in zip(D_e, Jp_e)]
+        if nlim:
+            Jp_l = lim_dot(p)
+            DJp_l = D_l[0] * Jp_l
+        dphis = []
+        for a in ls_grid:
+            acc = b0 + a * pMp
+            for e in range(10):
+                acc = acc + jnp.sum(
+                    DJp_e[e] * jnp.minimum(r_e[e] + a * Jp_e[e], 0.0),
+                    axis=0)
+            if nlim:
+                acc = acc + jnp.sum(
+                    DJp_l * jnp.minimum(r_l + a * Jp_l, 0.0), axis=0)
+            dphis.append(acc)
+        alpha = jnp.where(dphis[-1] < 0,
+                          jnp.full_like(pMp, ls_grid[-1]),
+                          jnp.zeros_like(pMp))
+        for t in range(len(ls_grid) - 1):
+            lo, hi = dphis[t], dphis[t + 1]
+            cross = jnp.logical_and(lo < 0, hi >= 0)
+            frac = jnp.clip(lo / jnp.minimum(lo - hi, -1e-12), 0.0, 1.0)
+            cand = ls_grid[t] + frac * (ls_grid[t + 1] - ls_grid[t])
+            alpha = jnp.where(cross, cand, alpha)
+        x = x + alpha[None, :] * p
+
+    rb = base_dot(x)
+    r_e = [je - ae for je, ae in zip(edges_of(rb), aref_e)]
+    f_e = [jnp.where(r < 0, jnp.maximum(-De * r, 0.0), 0.0)
+           for r, De in zip(r_e, D_e)]
+    if nlim:
+        r_l = lim_dot(x) - aref_l
+        f_l = jnp.where(r_l < 0, jnp.maximum(-D_l[0] * r_l, 0.0), 0.0)
+    else:
+        f_l = None
+    qfc = JT_apply(f_e, f_l)
+    fslot = f_e[0]
+    for e in range(1, 10):
+        fslot = fslot + f_e[e]
+
+    # implicit-damping Euler: (M + dt diag(damping)) dv = dt qfrc_total
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 1)
+    MhD = M + jnp.where(ii == jj, hd[:, None, :], 0.0)
+    Le = _chol(MhD, nv)
+    dv = dtv * _chol_solve_vec(Le, qf + qfc, nv)
+    return x, qv + dv, fslot, qfc
 
 def _rows_kernel(M_ref, qf_ref, qv_ref, cdof_ref, rel_ref, nrm_ref,
                  dist_ref, mu_ref, dmask_ref, kc_ref, bc_ref, dc_ref,
-                 limj_ref, lpos_ref, kl_ref, bl_ref, dl_ref, hd_ref,
+                 lpos_ref, kl_ref, bl_ref, dl_ref, hd_ref,
                  dt_ref,
                  qacc_ref, qvn_ref, fslot_ref, qfc_ref,
-                 *, nv, K, nlim, niter, ls_grid, dmask_static):
+                 *, nv, K, lim_nz, niter, ls_grid, dmask_static):
     M = M_ref[...]            # (nv, nv, TB)
     qf = qf_ref[...]          # (nv, TB)
     qv = qv_ref[...]          # (nv, TB)
@@ -377,6 +649,7 @@ def _rows_kernel(M_ref, qf_ref, qv_ref, cdof_ref, rel_ref, nrm_ref,
     dc = dc_ref[...]
     hd = hd_ref[...]          # (nv, TB)
     dtv = dt_ref[...]         # (1, TB)
+    nlim = len(lim_nz)
 
     # tangent frame (collision.tangent_frame arithmetic, branch-free)
     nx, ny, nz = nrm[0], nrm[1], nrm[2]
@@ -393,12 +666,9 @@ def _rows_kernel(M_ref, qf_ref, qv_ref, cdof_ref, rel_ref, nrm_ref,
     t2y = nz * t1x - nx * t1z
     t2z = nx * t1y - ny * t1x
 
-    mus, mut, mur = mu[0], mu[1], mu[2]
-    relx, rely, relz = rel[0], rel[1], rel[2]
-    limJ = limj_ref[...]       # (max(nlim,1), nv) static limit Jacobians
-    TB = dist.shape[-1]
-
-    Jv = []
+    # 6 base Jacobian rows per dof (K, TB): the solve runs factorized
+    # on these (_solve_core_pyramid) — edges are never materialized
+    JB = [[None] * nv for _ in range(6)]
     for v in range(nv):
         w0, w1, w2 = (cdof[v, 0][None, :], cdof[v, 1][None, :],
                       cdof[v, 2][None, :])
@@ -406,50 +676,25 @@ def _rows_kernel(M_ref, qf_ref, qv_ref, cdof_ref, rel_ref, nrm_ref,
                       cdof[v, 5][None, :])
         dm = dmask[v][:, None] if dmask_static else dmask[v]
         # point jacobian: cdof_lin + cdof_ang x rel, masked to the chain
-        jx = dm * (l0 + w1 * relz - w2 * rely)
-        jy = dm * (l1 + w2 * relx - w0 * relz)
-        jz = dm * (l2 + w0 * rely - w1 * relx)
-        Jn = jx * nx + jy * ny + jz * nz
-        Jt1 = jx * t1x + jy * t1y + jz * t1z
-        Jt2 = jx * t2x + jy * t2y + jz * t2z
-        Js = dm * (w0 * nx + w1 * ny + w2 * nz)
-        Jr1 = dm * (w0 * t1x + w1 * t1y + w2 * t1z)
-        Jr2 = dm * (w0 * t2x + w1 * t2y + w2 * t2z)
-        blocks = [Jn + mus * Jt1, Jn - mus * Jt1,
-                  Jn + mus * Jt2, Jn - mus * Jt2,
-                  Jn + mut * Js, Jn - mut * Js,
-                  Jn + mur * Jr1, Jn - mur * Jr1,
-                  Jn + mur * Jr2, Jn - mur * Jr2]
-        if nlim:
-            limc = jnp.broadcast_to(limJ[:nlim, v][:, None], (nlim, TB))
-            blocks = [limc] + blocks
-        Jv.append(jnp.concatenate(blocks, axis=0))
-    J = Jv   # per-dof list — never stacked (VMEM: no doubled copy)
+        jx = dm * (l0 + w1 * rel[2] - w2 * rel[1])
+        jy = dm * (l1 + w2 * rel[0] - w0 * rel[2])
+        jz = dm * (l2 + w0 * rel[1] - w1 * rel[0])
+        JB[0][v] = jx * nx + jy * ny + jz * nz          # Jn
+        JB[1][v] = jx * t1x + jy * t1y + jz * t1z       # Jt1
+        JB[2][v] = jx * t2x + jy * t2y + jz * t2z       # Jt2
+        JB[3][v] = dm * (w0 * nx + w1 * ny + w2 * nz)   # Js
+        JB[4][v] = dm * (w0 * t1x + w1 * t1y + w2 * t1z)  # Jr1
+        JB[5][v] = dm * (w0 * t2x + w1 * t2y + w2 * t2z)  # Jr2
 
-    if nlim:
-        lpos = lpos_ref[...]
-        kl = kl_ref[...]
-        bl = bl_ref[...]
-        dl = dl_ref[...]
-        pos = jnp.concatenate([lpos] + [dist] * 10, axis=0)
-        kk = jnp.concatenate([kl] + [kc] * 10, axis=0)
-        bb = jnp.concatenate([bl] + [bc] * 10, axis=0)
-        dd = jnp.concatenate([dl] + [dc] * 10, axis=0)
-    else:
-        pos = jnp.concatenate([dist] * 10, axis=0)
-        kk = jnp.concatenate([kc] * 10, axis=0)
-        bb = jnp.concatenate([bc] * 10, axis=0)
-        dd = jnp.concatenate([dc] * 10, axis=0)
+    lpos = lpos_ref[...] if nlim else None
+    kl = kl_ref[...] if nlim else None
+    bl = bl_ref[...] if nlim else None
+    dl = dl_ref[...] if nlim else None
 
-    x, qvn, f, qfc = _solve_core(M, qf, qv, J, pos, kk, bb, dd, hd, dtv,
-                                 nv=nv, niter=niter, ls_grid=ls_grid)
-
-    # per-slot normal force: every pyramid edge has unit normal
-    # coefficient, so the slot's normal force is the sum of its 10 edge
-    # forces — static slices (edge-major blocks), no reshape
-    fslot = f[nlim:nlim + K]
-    for e in range(1, 10):
-        fslot = fslot + f[nlim + e * K:nlim + (e + 1) * K]
+    x, qvn, fslot, qfc = _solve_core_pyramid(
+        M, qf, qv, JB, (mu[0], mu[1], mu[2]), dist, kc, bc, dc,
+        lim_nz, lpos, kl, bl, dl, hd, dtv,
+        nv=nv, niter=niter, ls_grid=ls_grid)
 
     qacc_ref[...] = x
     qvn_ref[...] = qvn
@@ -504,7 +749,12 @@ def fused_rows_batched(M, qf, qv, cdof, rel, nrm, dist, mu3, dmask,
     ls_grid = (0.0,) + tuple(
         float(a) for a in np.logspace(-3.0, np.log10(4.0), ls_iter - 1))
 
-    kern = functools.partial(_rows_kernel, nv=nv, K=K, nlim=nlim,
+    # static limit-row structure: coefficients unroll into the kernel
+    # program (limit Jacobians are configuration-independent)
+    lim_nz = _lim_nonzeros(lim_tab)
+    assert len(lim_nz) == nlim, (len(lim_nz), nlim)
+
+    kern = functools.partial(_rows_kernel, nv=nv, K=K, lim_nz=lim_nz,
                              niter=niter, ls_grid=ls_grid,
                              dmask_static=dmask_static)
 
@@ -522,18 +772,9 @@ def fused_rows_batched(M, qf, qv, cdof, rel, nrm, dist, mu3, dmask,
         dmaskt = prep(dmask, (2, 1, 0))
         dmask_spec = vspec(nv, K)
 
-    # static limit-row Jacobian table, one whole-array block broadcast
-    # to every batch tile (pallas rejects in-kernel array constants)
-    nlim_spec = max(nlim, 1)
-    limJ = jnp.zeros((nlim_spec, nv), dtype)
-    if nlim:
-        limJ = limJ.at[:, :].set(
-            jnp.asarray(np.asarray(lim_tab, dtype=np.float64), dtype))
-    limj_spec = pl.BlockSpec((nlim_spec, nv), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-
     # nlim==0: feed 1-row dummies (pallas rejects 0-sized blocks); the
     # kernel never reads them (static nlim gate)
+    nlim_spec = max(nlim, 1)
     if nlim:
         lim_args = tuple(prep(a, (1, 0)) for a in (lpos, kl, bl, dl))
     else:
@@ -552,14 +793,13 @@ def fused_rows_batched(M, qf, qv, cdof, rel, nrm, dist, mu3, dmask,
         in_specs=[vspec(nv, nv), vspec(nv), vspec(nv), vspec(nv, 6),
                   vspec(3, K), vspec(3, K), vspec(K), vspec(3, K),
                   dmask_spec, vspec(K), vspec(K), vspec(K),
-                  limj_spec,
                   vspec(nlim_spec), vspec(nlim_spec), vspec(nlim_spec),
                   vspec(nlim_spec), vspec(nv), vspec(1)],
         out_specs=[vspec(nv), vspec(nv), vspec(K), vspec(nv)],
         out_shape=out_shape,
         interpret=interpret,
     )(Mt, qft, qvt, cdoft, relt, nrmt, distt, mut, dmaskt, kct, bct, dct,
-      limJ, *lim_args, hdt, dtt)
+      *lim_args, hdt, dtt)
 
     def unprep(x):
         return jnp.transpose(x[..., :B], (1, 0))

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import linalg
+
+_HI = jax.lax.Precision.HIGHEST
 from .collision import Contacts, tangent_frame
 from .engine import Kin
 from .model import JointType, Model
@@ -164,13 +166,13 @@ def make_rows(m: Model, kin: Kin, qpos: jax.Array, qvel: jax.Array,
         jac_ang = dmask * kin.cdof[None, :, :3]           # (ncon, nv, 3)
 
         t1, t2 = tangent_frame(contacts.normal)
-        Jn = jnp.einsum("cvk,ck->cv", jac, contacts.normal)
-        Jt1 = jnp.einsum("cvk,ck->cv", jac, t1)
-        Jt2 = jnp.einsum("cvk,ck->cv", jac, t2)
+        Jn = jnp.einsum("cvk,ck->cv", jac, contacts.normal, precision=_HI)
+        Jt1 = jnp.einsum("cvk,ck->cv", jac, t1, precision=_HI)
+        Jt2 = jnp.einsum("cvk,ck->cv", jac, t2, precision=_HI)
         # angular components: spin about n, roll about t1/t2
-        Js = jnp.einsum("cvk,ck->cv", jac_ang, contacts.normal)
-        Jr1 = jnp.einsum("cvk,ck->cv", jac_ang, t1)
-        Jr2 = jnp.einsum("cvk,ck->cv", jac_ang, t2)
+        Js = jnp.einsum("cvk,ck->cv", jac_ang, contacts.normal, precision=_HI)
+        Jr1 = jnp.einsum("cvk,ck->cv", jac_ang, t1, precision=_HI)
+        Jr2 = jnp.einsum("cvk,ck->cv", jac_ang, t2, precision=_HI)
         mu = contacts.friction[:, None]
         mu_t = contacts.friction_tor[:, None]
         mu_r = contacts.friction_roll[:, None]
@@ -279,6 +281,21 @@ def limit_rows_data(m: Model, qpos: jax.Array):
     return pos, k, jnp.broadcast_to(b, pos.shape), d
 
 
+def contact_dmask(m: Model) -> jax.Array:
+    """Static chain-difference dof mask table (ncon, nv) for the full
+    (selection-free) slot set — the dmask contact_raw builds, without
+    needing kinematics. Used by the fused smooth-kernel step path."""
+    import numpy as np
+    s = m.struct
+    body_dof = np.asarray(s.body_dof, dtype=np.float64)
+    zero_row = np.zeros(s.nv, dtype=np.float64)
+    tab = np.stack([
+        (body_dof[b] if b >= 0 else zero_row)
+        - (body_dof[a] if a >= 0 else zero_row)
+        for a, b in zip(s.slot_body_a, s.slot_body_b)])
+    return jnp.asarray(tab, dtype=jnp.float32)
+
+
 def contact_raw(m: Model, kin: Kin, contacts: Contacts,
                 sel: jax.Array | None):
     """Raw per-contact quantities for the fused row-building kernel:
@@ -336,12 +353,12 @@ def rows_from_raw(cdof: jax.Array, dmask: jax.Array, rel: jax.Array,
     jac = dm * jac_pt                              # (K, nv, 3)
     jac_ang = dm * cdof[None, :, :3]
     t1, t2 = tangent_frame(normal)
-    Jn = jnp.einsum("cvk,ck->cv", jac, normal)
-    Jt1 = jnp.einsum("cvk,ck->cv", jac, t1)
-    Jt2 = jnp.einsum("cvk,ck->cv", jac, t2)
-    Js = jnp.einsum("cvk,ck->cv", jac_ang, normal)
-    Jr1 = jnp.einsum("cvk,ck->cv", jac_ang, t1)
-    Jr2 = jnp.einsum("cvk,ck->cv", jac_ang, t2)
+    Jn = jnp.einsum("cvk,ck->cv", jac, normal, precision=_HI)
+    Jt1 = jnp.einsum("cvk,ck->cv", jac, t1, precision=_HI)
+    Jt2 = jnp.einsum("cvk,ck->cv", jac, t2, precision=_HI)
+    Js = jnp.einsum("cvk,ck->cv", jac_ang, normal, precision=_HI)
+    Jr1 = jnp.einsum("cvk,ck->cv", jac_ang, t1, precision=_HI)
+    Jr2 = jnp.einsum("cvk,ck->cv", jac_ang, t2, precision=_HI)
     mu = mu3[:, 0:1]
     mu_t = mu3[:, 1:2]
     mu_r = mu3[:, 2:3]
@@ -371,7 +388,7 @@ def finish_efc(rows: Rows, qvel: jax.Array, Mchol: jax.Array) -> Efc:
     if rows.J.shape[0] == 0:
         z = jnp.zeros((0,), dtype=qvel.dtype)
         return Efc(J=rows.J, aref=z, D=z, pos=z)
-    vel = rows.J @ qvel
+    vel = jnp.matmul(rows.J, qvel, precision=_HI)
     aref = -rows.b * vel - rows.k * rows.d * rows.pos
     MiJt = linalg.chol_solve(Mchol, rows.J.T)             # (nv, ne)
     diagA = jnp.maximum(jnp.sum(rows.J.T * MiJt, axis=0), 1e-10)
@@ -441,15 +458,17 @@ def newton_solve(M: jax.Array, Mchol: jax.Array, qfrc_smooth: jax.Array,
         jnp.logspace(-3.0, jnp.log10(4.0), ls_iter - 1).astype(dtype)])
 
     def newton_iter(_, x):
-        r = J @ x - aref
+        r = jnp.matmul(J, x, precision=_HI) - aref
         act = (r < 0).astype(dtype)
         Da = D * act
-        g = M @ (x - a_s) + J.T @ (Da * r)
-        H = M + (J.T * Da) @ J
+        g = jnp.matmul(M, x - a_s, precision=_HI) \
+            + jnp.matmul(J.T, Da * r, precision=_HI)
+        H = M + jnp.matmul(J.T * Da, J, precision=_HI)
         p = -linalg.chol_solve(linalg.chol_factor(H), g)
-        Jp = J @ p
-        pMp = p @ (M @ p)
-        b0 = p @ (M @ (x - a_s))
+        Jp = jnp.matmul(J, p, precision=_HI)
+        Mp = jnp.matmul(M, p, precision=_HI)
+        pMp = p @ Mp
+        b0 = p @ jnp.matmul(M, x - a_s, precision=_HI)
 
         # dphi on the whole grid at once: (LS, ne) -> (LS,)
         ra = r[None, :] + ls_grid[:, None] * Jp[None, :]     # (LS, ne)
@@ -475,18 +494,19 @@ def newton_solve(M: jax.Array, Mchol: jax.Array, qfrc_smooth: jax.Array,
         # to solver tolerance, derivative = exact IFT sensitivity
         xh = lax.fori_loop(0, niter, newton_iter, sg(a_s))
         xh = sg(xh)
-        rh = sg(J) @ xh - sg(aref)
+        rh = jnp.matmul(sg(J), xh, precision=_HI) - sg(aref)
         act = sg((rh < 0).astype(dtype))
         Da = D * act
-        r_full = J @ xh - aref
-        g = M @ (xh - a_s) + J.T @ (Da * r_full)
-        H = M + (J.T * Da) @ J
+        r_full = jnp.matmul(J, xh, precision=_HI) - aref
+        g = jnp.matmul(M, xh - a_s, precision=_HI) \
+            + jnp.matmul(J.T, Da * r_full, precision=_HI)
+        H = M + jnp.matmul(J.T * Da, J, precision=_HI)
         x = xh - linalg.chol_solve(linalg.chol_factor(H), g)
     else:
         x = lax.fori_loop(0, niter, newton_iter, a_s)
-    r = J @ x - aref
+    r = jnp.matmul(J, x, precision=_HI) - aref
     f_sel = jnp.maximum(-D * r, 0.0) * (r < 0).astype(dtype)
-    qfrc_constraint = J.T @ f_sel
+    qfrc_constraint = jnp.matmul(J.T, f_sel, precision=_HI)
     if sel is not None:
         f = jnp.zeros((ne,), dtype=dtype).at[sel].set(f_sel)
     else:

@@ -239,7 +239,7 @@ def step(m: Model, state: State, ctrl: jax.Array,
         dv = h * linalg.solve_psd(MhD, qfrc_total)
         qvel_new = state.qvel + dv
     else:
-        from . import pallas_solver
+        from . import pallas_smooth, pallas_solver
         qpos, qvel = state.qpos, state.qvel
         dtype = qpos.dtype
         K_cap = m.struct.max_contacts
@@ -247,6 +247,44 @@ def step(m: Model, state: State, ctrl: jax.Array,
         use_rows_kernel = (use_pallas is not False
                            and pallas_solver.enabled()
                            and dtype == jnp.float32 and ncon_sel > 0)
+        use_smooth_kernel = (use_rows_kernel and pallas_smooth.supported(m)
+                             and not pallas_smooth._model_is_batched(m))
+        if use_smooth_kernel:
+            # TPU fastest path: the ENTIRE smooth stage (FK, CRB, RNEA,
+            # actuation/passive, collision, raw contact/limit rows) runs
+            # in one fused kernel, then the constraint solve + Euler in
+            # a second — two pallas_calls per step instead of ~100 XLA
+            # fusions (the round-5 smooth-stage profile)
+            from .solver import contact_dmask, limit_rows_static
+            (M, qfrc_smooth, cdof, rel, nrm, dist, mu3, kc, bc, dc,
+             lpos, kl, bl, dl, xpos, xquat, xipos, bcv, sitex, anchor,
+             com_vel, actf) = pallas_smooth.smooth_raw(
+                m, qpos, qvel, ctrl, xfrc)
+            qacc, qvel_new, cf, qfrc_constraint = \
+                pallas_solver.solve_step_raw(
+                    M, qfrc_smooth, qvel, cdof, rel, nrm, dist, mu3,
+                    contact_dmask(m), kc, bc, dc, lpos, kl, bl, dl,
+                    h * m.dof_damping, h, lim_tab=limit_rows_static(m),
+                    niter=solver_iters)
+            qfrc_total = qfrc_smooth + qfrc_constraint
+            diverged = jnp.logical_or(
+                ~jnp.all(jnp.isfinite(qacc)),
+                jnp.max(jnp.abs(qvel)) > _QVEL_LIMIT)
+            info = StepInfo(
+                xpos=xpos, xquat=xquat, xipos=xipos, site_xpos=sitex,
+                com=anchor, com_vel=com_vel, body_com_vel=bcv,
+                contact_dist=dist, contact_force=cf, qacc=qacc,
+                actuator_force=actf, qfrc_total=qfrc_total,
+                diverged=diverged)
+            qpos_new = integrate_pos(m, state.qpos, qvel_new, h)
+            diverged = jnp.logical_or(info.diverged,
+                                      ~jnp.all(jnp.isfinite(qvel_new)))
+            qpos_new = jnp.where(diverged, state.qpos, qpos_new)
+            qvel_new = jnp.where(diverged, jnp.zeros_like(qvel_new),
+                                 qvel_new)
+            info = dataclasses.replace(info, diverged=diverged)
+            return (State(qpos=qpos_new, qvel=qvel_new,
+                          time=state.time + h), info)
         if use_rows_kernel:
             # TPU fast path: constraint rows are built INSIDE the fused
             # kernel from raw contact data (pallas_solver._rows_kernel)
