@@ -220,7 +220,12 @@ def _smooth_kernel(qpos_ref, qvel_ref, ctrl_ref, xfrc_ref,
     nsite = len(s.site_names)
 
     def lane(x):
-        """Broadcast a () value to (TB,)."""
+        """Broadcast a () or (TB,) value to (TB,). Param reads are ()
+        for shared params and (TB,) for per-env-batched params — the
+        whole kernel body is agnostic to which."""
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            return x
         return jnp.broadcast_to(jnp.reshape(x, (1,)), (TB,))
 
     gx_, gy_, gz_ = misc[0, 0], misc[1, 0], misc[2, 0]     # gravity
@@ -605,7 +610,7 @@ def _smooth_kernel(qpos_ref, qvel_ref, ctrl_ref, xfrc_ref,
     dist = jnp.stack(slots_dist)                      # (K, TB)
     dcon = _impedance(-dist, so_dmin, so_dmax, so_w)
     kcon, bcon = _kb(so_tc, so_dr, so_dmax, dcon, dt_s)
-    bcon = jnp.broadcast_to(jnp.reshape(bcon, (1, 1)), (K, TB))
+    bcon = jnp.broadcast_to(jnp.reshape(bcon, (1, -1)), (K, TB))
 
     # ---- joint limit rows (solver.limit_rows_data order) ----
     lpos_rows = []
@@ -623,7 +628,7 @@ def _smooth_kernel(qpos_ref, qvel_ref, ctrl_ref, xfrc_ref,
         lpos = jnp.stack(lpos_rows)
         dlim = _impedance(-lpos, li_dmin, li_dmax, li_w)
         klim, blim = _kb(li_tc, li_dr, li_dmax, dlim, dt_s)
-        blim = jnp.broadcast_to(jnp.reshape(blim, (1, 1)), (nlim, TB))
+        blim = jnp.broadcast_to(jnp.reshape(blim, (1, -1)), (nlim, TB))
         limd_ref[...] = jnp.stack([lpos, klim, blim, dlim])
     else:
         limd_ref[...] = jnp.zeros_like(limd_ref)
@@ -743,9 +748,12 @@ def _num_limit_rows(s) -> int:
 
 
 def smooth_batched(struct, qpos, qvel, ctrl, xfrc, params,
-                   interpret: bool = False):
+                   params_batched=None, interpret: bool = False):
     """Batched fused smooth stage. qpos (B, nq), qvel (B, nv),
     ctrl (B, nu), xfrc (B, nbody, 6) or None; params from _pack_params.
+    `params_batched`: per-param bools — True marks a param array with a
+    LEADING batch dim (B, ...) (per-env domain-randomized model leaves,
+    the RL ModelPatch path); those stream per-lane, the rest broadcast.
     Returns batch-leading:
       (M, qfs, cdof, rel, nrm, dist, mu3, kc, bc, dc, lpos, kl, bl, dl,
        xpos, xquat, xipos, bcv, site_xpos, anchor, com_vel, actf)
@@ -761,11 +769,15 @@ def smooth_batched(struct, qpos, qvel, ctrl, xfrc, params,
     Bp = pl.cdiv(B, _TB) * _TB
     pad = Bp - B
     has_xfrc = xfrc is not None
+    if params_batched is None:
+        params_batched = (False,) * len(params)
 
     def prep(x):
-        x = jnp.transpose(x.astype(dtype), (1, 0))
+        """(B, ...) -> (..., Bp) lane-last."""
+        x = jnp.transpose(x.astype(dtype),
+                          tuple(range(1, x.ndim)) + (0,))
         if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad)))
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
         return x
 
     qpost = prep(qpos)
@@ -789,6 +801,11 @@ def smooth_batched(struct, qpos, qvel, ctrl, xfrc, params,
         return pl.BlockSpec(shp, lambda i, n=len(shp): (0,) * n,
                             memory_space=pltpu.VMEM)
 
+    params = tuple(prep(p.astype(dtype)) if pb else p
+                   for p, pb in zip(params, params_batched))
+    param_specs = [vspec(*p.shape[:-1]) if pb else pspec(p)
+                   for p, pb in zip(params, params_batched)]
+
     nlim_o = max(nlim, 1)
     out_shape = [
         jax.ShapeDtypeStruct((nv, nv, Bp), dtype),    # M
@@ -808,8 +825,7 @@ def smooth_batched(struct, qpos, qvel, ctrl, xfrc, params,
         kern,
         grid=(Bp // _TB,),
         in_specs=[vspec(nq), vspec(nv), vspec(ctrlt.shape[0]),
-                  vspec(xfrct.shape[0])]
-                 + [pspec(p) for p in params],
+                  vspec(xfrct.shape[0])] + param_specs,
         out_specs=[vspec(nv, nv), vspec(nv), vspec(nv, 6),
                    vspec(3, K), vspec(3, K), vspec(3, K), vspec(4, K),
                    vspec(4, nlim_o), vspec(nbody, 13),
@@ -836,9 +852,16 @@ def smooth_batched(struct, qpos, qvel, ctrl, xfrc, params,
         if s.jnt_type[j] != JointType.FREE:
             continue
         qadr, vadr = s.jnt_qadr[j], s.jnt_vadr[j]
-        stiff = jointp[j, 6]
+        # params here are in KERNEL layout: lane-last when batched
+        if params_batched[1]:
+            stiff = jointp[j, 6, :B][:, None]              # (B, 1)
+        else:
+            stiff = jointp[j, 6]
+        if params_batched[3]:
+            qs = jnp.transpose(qspr[qadr + 3:qadr + 7, 0, :B])
+        else:
+            qs = jnp.broadcast_to(qspr[qadr + 3:qadr + 7, 0], (B, 4))
         qj = qpos[:, qadr + 3:qadr + 7].astype(dtype)
-        qs = jnp.broadcast_to(qspr[qadr + 3:qadr + 7, 0], (B, 4))
         dif = pm.quat_sub(qj, qs)
         qfs = qfs.at[:, vadr + 3:vadr + 6].add(-stiff * dif)
     cdof = unprep(cdoft)
@@ -909,25 +932,21 @@ def _make_dispatch(m: Model, has_xfrc: bool):
     def _rule(axis_size, in_batched, *args):
         qpos, qvel, ctrl, xfrc = args[:4]
         params = args[4:]
-        pbatched = any(in_batched[4:])
+        params_batched = tuple(in_batched[4:])
 
         def bcast(a, ib):
             return a if ib else jnp.broadcast_to(
                 a[None], (axis_size,) + jnp.shape(a))
 
-        if pbatched:
-            # unreachable: smooth_raw routes batched-model calls (RL
-            # ModelPatch path) to jax_smooth_single BEFORE the kernel
-            # dispatch (batch-tracer leaf check)
-            raise NotImplementedError(
-                "smooth kernel: model params are vmap-batched; "
-                "smooth_raw should have taken the JAX path")
         qpos = bcast(qpos, in_batched[0])
         qvel = bcast(qvel, in_batched[1])
         ctrl = bcast(ctrl, in_batched[2])
         xfrc = bcast(xfrc, in_batched[3]) if has_xfrc else xfrc
+        # per-env-batched params (RL ModelPatch domain randomization)
+        # stream per-lane; shared params stay broadcast VMEM blocks
         outs = smooth_batched(struct, qpos, qvel, ctrl,
-                              xfrc if has_xfrc else None, params)
+                              xfrc if has_xfrc else None, params,
+                              params_batched=params_batched)
         return outs, tuple(True for _ in range(22))
 
     _DISPATCH_CACHE[key] = (struct, fused)
@@ -936,8 +955,9 @@ def _make_dispatch(m: Model, has_xfrc: bool):
 
 def _model_is_batched(m: Model) -> bool:
     """True when any model float leaf is a vmap batch tracer (the RL
-    env's per-env ModelPatch leaves): the kernel path cannot serve it,
-    the ambient vmap batches the JAX path correctly instead."""
+    env's per-env ModelPatch leaves). The kernel serves this case too
+    (per-lane param streaming via the custom_vmap rule); step.py keeps
+    the flag to pick solve_step_raw's per-env dmask handling."""
     try:
         from jax._src.interpreters.batching import BatchTracer
     except ImportError:                                # pragma: no cover
@@ -956,8 +976,7 @@ def smooth_raw(m: Model, qpos, qvel, ctrl, xfrc=None):
     """Public entry: the smooth stage + raw contact/limit rows as one
     fused TPU kernel (JAX fallback elsewhere). Output layouts match
     solve_step_raw's inputs; see smooth_batched for the tuple."""
-    if not (enabled() and supported(m) and qpos.dtype == jnp.float32
-            and not _model_is_batched(m)):
+    if not (enabled() and supported(m) and qpos.dtype == jnp.float32):
         return jax_smooth_single(m, qpos, qvel, ctrl, xfrc)
     params = _pack_params(m)
     has_xfrc = xfrc is not None

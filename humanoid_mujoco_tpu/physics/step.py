@@ -247,8 +247,8 @@ def step(m: Model, state: State, ctrl: jax.Array,
         use_rows_kernel = (use_pallas is not False
                            and pallas_solver.enabled()
                            and dtype == jnp.float32 and ncon_sel > 0)
-        use_smooth_kernel = (use_rows_kernel and pallas_smooth.supported(m)
-                             and not pallas_smooth._model_is_batched(m))
+        use_smooth_kernel = (use_rows_kernel
+                             and pallas_smooth.supported(m))
         if use_smooth_kernel:
             # TPU fastest path: the ENTIRE smooth stage (FK, CRB, RNEA,
             # actuation/passive, collision, raw contact/limit rows) runs

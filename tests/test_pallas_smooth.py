@@ -119,3 +119,38 @@ class TestSmoothKernel:
         for name, r, o in zip(NAMES, ref, out):
             np.testing.assert_allclose(np.asarray(r), np.asarray(o),
                                        err_msg=name)
+
+    def test_batched_params_interpret(self, model, batch_states):
+        """Per-env model params (domain-randomization / ModelPatch
+        path): batched params stream per-lane; outputs must match
+        per-env JAX oracles."""
+        import dataclasses
+        m = model
+        qpos, qvel, ctrl = batch_states
+        B = qpos.shape[0]
+        key = jax.random.PRNGKey(11)
+        mass_b = m.body_mass[None] * (1.0 + 0.2 * jax.random.uniform(
+            key, (B, m.struct.nbody), minval=-1.0, maxval=1.0))
+        hf_b = (m.hfield_data[None]
+                + 0.02 * jax.random.uniform(
+                    jax.random.PRNGKey(12),
+                    (B,) + m.hfield_data.shape)).astype(jnp.float32)
+
+        ref = jax.vmap(
+            lambda qp, qv, ct, mb, hb: pallas_smooth.jax_smooth_single(
+                dataclasses.replace(m, body_mass=mb, hfield_data=hb),
+                qp, qv, ct))(qpos, qvel, ctrl, mass_b, hf_b)
+
+        def pack_one(mb, hb):
+            return pallas_smooth._pack_params(
+                dataclasses.replace(m, body_mass=mb, hfield_data=hb))
+
+        params = jax.vmap(pack_one)(mass_b, hf_b)
+        # bodyp (idx 0) and hfield (idx 8) are batched; rest replicated
+        pb = tuple(i in (0, 8) for i in range(9))
+        params = tuple(p if b else jax.tree.map(lambda x: x[0], p)
+                       for p, b in zip(params, pb))
+        out = pallas_smooth.smooth_batched(
+            m.struct, qpos, qvel, ctrl, None, params,
+            params_batched=pb, interpret=True)
+        _check(ref, out)
