@@ -17,9 +17,10 @@ kernel computes, per batch tile, with the batch in the lane dimension:
 i.e. everything `step._prepare_smooth` + `solver.contact_raw` +
 `solver.limit_rows_data` produce, in ONE pallas_call. The model
 STRUCTURE (tree, joint types, slot tables) is static and unrolls into
-the kernel program; all float parameters stream in as small broadcast
-VMEM blocks, so the kernel serves any parameter values without
-recompilation (runtime model edits, domain-randomization sweeps).
+the kernel program; float parameters stream in as small VMEM blocks —
+broadcast when shared, per-lane when vmap-batched (the RL env's
+domain-randomized ModelPatch leaves) — so the kernel serves any
+parameter values, shared or per-env, without recompilation.
 
 Algorithmic parity: every formula mirrors the pure-JAX path
 (engine.fwd_position/fwd_velocity/crb_mass_matrix/rnea_bias/
@@ -28,8 +29,7 @@ limit_rows_data) — the tree recursions are re-associated
 (composite-inertia accumulation instead of masked matmuls), which is
 algebraically identical; only f32 rounding differs. The pure-JAX path
 remains the oracle (tests/test_pallas_smooth.py) and the fallback for
-unsupported models, non-TPU backends, f64, and per-env-batched model
-parameters (the RL env's ModelPatch path).
+unsupported models, non-TPU backends, and f64.
 
 Supported model family (`supported()`): FREE/HINGE/SLIDE joints,
 MOTOR/POSITION actuators, sphere geoms only (sphere-vs-hfield floor +
@@ -154,24 +154,6 @@ def _q_cols(q):
     c1 = (2 * (xy - wz), 1 - 2 * (xx + zz), 2 * (yz + wx))
     c2 = (2 * (xz + wy), 2 * (yz - wx), 1 - 2 * (xx + yy))
     return c0, c1, c2
-
-
-def _q_log3(q):
-    """math.quat_log on a component tuple: rotation vector (3-tuple)."""
-    # shortest arc sign
-    sgn = jnp.where(q[0] < 0, -1.0, 1.0)
-    w = jnp.clip(q[0] * sgn, -1.0, 1.0)
-    v = (q[1] * sgn, q[2] * sgn, q[3] * sgn)
-    vnorm = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2] + 1e-20)
-    angle = 2.0 * jnp.arctan2(vnorm, w)
-    scale = angle / vnorm
-    return _scale3(v, scale)
-
-
-def _q_sub3(qa, qb):
-    """math.quat_sub: log(conj(qb) * qa) — tangent difference."""
-    conj = (qb[0], -qb[1], -qb[2], -qb[3])
-    return _q_log3(_q_mul(conj, qa))
 
 
 def _impedance(viol, dmin, dmax, width):
